@@ -1,0 +1,32 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so that multi-chip sharding paths
+(jax.sharding.Mesh + shard_map) are exercised without TPU hardware. This must
+happen before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Make the repo root importable regardless of how pytest is invoked.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import random
+
+import pytest
+
+
+@pytest.fixture
+def rng():
+    """Seeded RNG, mirroring the reference's seedrandom('hello') discipline
+    (mont_mul.test.ts:15)."""
+    return random.Random("hello")
