@@ -1,0 +1,179 @@
+"""Differential tests: device field kernels vs the u32-machine oracles.
+
+Mirrors the reference's test strategy (mont_mul.test.ts): seeded RNG,
+random batches over both fields, limb-for-limb equality against the CPU
+models with explicit uint32 wraparound.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from webgpu_msm_bls12_377_tpu.ops import field as dfield
+from webgpu_msm_bls12_377_tpu.params import CurveId, mont_params_for
+from webgpu_msm_bls12_377_tpu.reference import mont as omont
+from webgpu_msm_bls12_377_tpu.reference.limbs import (
+    from_words_le_unchecked,
+    to_words_le,
+)
+
+CURVES = [CurveId.BLS12_377, CurveId.EDWARDS_BLS12]
+
+
+@functools.lru_cache(maxsize=None)
+def jop(curve, name):
+    """Jitted field op bound to a curve's FieldCtx (compile once per shape)."""
+    ctx = dfield.field_ctx(curve)
+    fn = getattr(dfield, name)
+    return jax.jit(lambda *args: fn(ctx, *args))
+
+
+def batch_to_device(vals, params):
+    """ints -> (num_words, N) uint32 limb-major device array."""
+    arr = np.array(
+        [to_words_le(v, params.num_words, params.word_size) for v in vals],
+        dtype=np.uint32,
+    ).T
+    return jnp.asarray(arr)
+
+
+def device_to_ints(arr, params):
+    """(num_words, N) uint32 -> list of ints."""
+    np_arr = np.asarray(arr)
+    return [
+        from_words_le_unchecked(np_arr[:, j].tolist(), params.word_size)
+        for j in range(np_arr.shape[1])
+    ]
+
+
+def rand_elems(rng, p, n):
+    return [rng.randrange(p) for _ in range(n)]
+
+
+@pytest.mark.parametrize("curve", CURVES)
+def test_bigint_add_sub_gt(curve, rng):
+    params = mont_params_for(curve)
+    ctx = dfield.field_ctx(curve)
+    p = params.p
+    a_int = rand_elems(rng, p, 32)
+    b_int = rand_elems(rng, p, 32)
+    a = batch_to_device(a_int, params)
+    b = batch_to_device(b_int, params)
+
+    got_sum = device_to_ints(jop(curve, 'bigint_add')(a, b), params)
+    assert got_sum == [(x + y) for x, y in zip(a_int, b_int)]
+
+    diff, borrow = jop(curve, 'bigint_sub')(a, b)
+    got_diff = device_to_ints(diff, params)
+    radix = 1 << (params.num_words * params.word_size)
+    for x, y, d, br in zip(a_int, b_int, got_diff, np.asarray(borrow)):
+        if x >= y:
+            assert d == x - y and br == 0
+        else:
+            assert d == x - y + radix and br == 1
+
+    gt = np.asarray(jop(curve, 'bigint_gt')(a, b))
+    assert gt.tolist() == [x > y for x, y in zip(a_int, b_int)]
+
+
+@pytest.mark.parametrize("curve", CURVES)
+def test_field_add_sub_neg(curve, rng):
+    params = mont_params_for(curve)
+    ctx = dfield.field_ctx(curve)
+    p = params.p
+    a_int = rand_elems(rng, p, 32) + [0, 1, p - 1]
+    b_int = rand_elems(rng, p, 32) + [0, p - 1, p - 1]
+    a = batch_to_device(a_int, params)
+    b = batch_to_device(b_int, params)
+
+    assert device_to_ints(jop(curve, 'field_add')(a, b), params) == [
+        (x + y) % p for x, y in zip(a_int, b_int)
+    ]
+    assert device_to_ints(jop(curve, 'field_sub')(a, b), params) == [
+        (x - y) % p for x, y in zip(a_int, b_int)
+    ]
+    assert device_to_ints(jop(curve, 'field_neg')(a), params) == [
+        (-x) % p for x in a_int
+    ]
+
+
+@pytest.mark.parametrize("curve", CURVES)
+def test_mont_mul_matches_oracle_limbs(curve, rng):
+    """Limb-for-limb equality with the u32-machine emulated oracle."""
+    params = mont_params_for(curve)
+    ctx = dfield.field_ctx(curve)
+    p = params.p
+    n = 64
+    a_int = rand_elems(rng, p, n) + [0, 1, p - 1, params.r]
+    b_int = rand_elems(rng, p, n) + [0, p - 1, p - 1, params.rinv]
+    a = batch_to_device(a_int, params)
+    b = batch_to_device(b_int, params)
+
+    got = np.asarray(jop(curve, 'mont_mul')(a, b))
+    for j, (x, y) in enumerate(zip(a_int, b_int)):
+        want = omont.mont_mul_optimised(
+            to_words_le(x, params.num_words, params.word_size),
+            to_words_le(y, params.num_words, params.word_size),
+            params,
+        )
+        assert got[:, j].tolist() == want, f"elem {j}"
+        # and the math is right: result == x*y*rinv mod p
+        assert (
+            from_words_le_unchecked(want, params.word_size)
+            == (x * y * params.rinv) % p
+        )
+
+
+@pytest.mark.parametrize("curve", CURVES)
+def test_mont_mul_broadcast_constant(curve, rng):
+    """(W,1) constant operand broadcasts over the batch."""
+    params = mont_params_for(curve)
+    ctx = dfield.field_ctx(curve)
+    p = params.p
+    a_int = rand_elems(rng, p, 16)
+    a = batch_to_device(a_int, params)
+    got = device_to_ints(jop(curve, 'to_mont')(a), params)
+    assert got == [(x * params.r) % p for x in a_int]
+    back = device_to_ints(jop(curve, 'from_mont')(jop(curve, 'to_mont')(a)), params)
+    assert back == a_int
+
+
+@pytest.mark.parametrize("curve", CURVES)
+def test_barrett_mul_matches_oracle(curve, rng):
+    params = mont_params_for(curve)
+    ctx = dfield.field_ctx(curve)
+    p = params.p
+    a_int = rand_elems(rng, p, 16) + [0, p - 1]
+    b_int = rand_elems(rng, p, 16) + [p - 1, p - 1]
+    a = batch_to_device(a_int, params)
+    b = batch_to_device(b_int, params)
+    got = np.asarray(jop(curve, 'barrett_mul')(a, b))
+    for j, (x, y) in enumerate(zip(a_int, b_int)):
+        want = omont.barrett_mul_limbs(
+            to_words_le(x, params.num_words, params.word_size),
+            to_words_le(y, params.num_words, params.word_size),
+            params,
+        )
+        assert got[:, j].tolist() == want, f"elem {j}"
+        assert from_words_le_unchecked(want, params.word_size) == (x * y) % p
+
+
+def test_barrett_vs_mont_entry():
+    """The reference's Mont-entry (Barrett mul by r) == ours (mont by r^2)."""
+    params = mont_params_for(CurveId.BLS12_377)
+    ctx = dfield.field_ctx(CurveId.BLS12_377)
+    import random
+
+    rng = random.Random("entry")
+    a_int = [rng.randrange(params.p) for _ in range(8)]
+    a = batch_to_device(a_int, params)
+    curve = CurveId.BLS12_377
+    via_barrett = np.asarray(
+        jop(curve, 'barrett_mul')(a, jnp.broadcast_to(ctx.one_mont_col, a.shape))
+    )
+    via_mont = np.asarray(jop(curve, 'to_mont')(a))
+    assert via_barrett.tolist() == via_mont.tolist()

@@ -1,0 +1,285 @@
+"""Branch-free batched elliptic-curve kernels in the Montgomery domain.
+
+TPU-native equivalents of the reference's device curve code:
+
+- BLS12-377 G1 projective short-Weierstrass ops — unified add "add-2002-bj"
+  (16M) and dbl-2007-bl (10M):
+  src/submission/implementation/wgsl/curve/ec_bls12_377.template.wgsl:13-80
+- Twisted Edwards extended ops — complete unified add/dbl-2008-hwcd, the
+  formulas behind the reference's FieldMath/@noble oracle
+  (src/reference/utils/FieldMath.ts:104-137) and its Edwards WGSL library
+  (src/reference/webgpu/wgsl/Curve.ts:38-117).
+
+Design notes:
+
+* A batch of points is a NamedTuple of (num_words, *batch) uint32 coord
+  arrays (see ops/field.py for the limb layout).  NamedTuples are pytrees,
+  so points flow through jit / lax.fori_loop / shard_map directly.
+* The WGSL originals take early-return branches on the point at infinity
+  (ec_bls12_377.template.wgsl:17-22); branches don't vectorize on the VPU,
+  so infinity handling is a lane-wise select (jnp.where) computed alongside
+  the main formula — the standard SIMD formulation.
+* Mixed (projective + affine) variants exploit z2 == 1: in Montgomery form
+  "1" is r, and REDC(u * r) == u exactly, so dropping the three z2 products
+  changes nothing bit-wise while saving ~20% of the SMVP field muls.  The
+  reference instead synthesizes z = r inside its SMVP shader
+  (smvp_bls12_377.template.wgsl:70-160) and pays the full 16M add.
+* The Edwards formulas are complete (a = -1, d non-square): no infinity
+  selects at all — every lane runs the same straight-line code.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..params import EDWARDS_D, CurveId
+from .field import (
+    FieldCtx,
+    bigint_is_zero,
+    field_add,
+    field_ctx,
+    field_neg,
+    field_sub,
+    mont_mul,
+)
+
+
+class ProjG1(NamedTuple):
+    """(X : Y : Z) projective point batch; zero encoded as Z == 0."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+
+class ExtEd(NamedTuple):
+    """Extended twisted Edwards (X : Y : T : Z) batch, T = XY/Z."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    t: jnp.ndarray
+    z: jnp.ndarray
+
+
+def select(mask: jnp.ndarray, a, b):
+    """Lane-wise point select: a where mask else b (mask over batch axes)."""
+    m = mask[None, ...]
+    return type(a)(*(jnp.where(m, ca, cb) for ca, cb in zip(a, b)))
+
+
+# ---------------------------------------------------------------------------
+# BLS12-377 G1 (short Weierstrass, a = 0, b = 1)
+# ---------------------------------------------------------------------------
+
+
+class G1Ops:
+    """Batched G1 group ops over Montgomery-form limb vectors.
+
+    Affine addends are (x, y) pairs with implicit z = 1 (= r in Montgomery
+    form); accumulators are full projective ProjG1.
+    """
+
+    CURVE = CurveId.BLS12_377
+    Point = ProjG1
+    AFFINE_COORDS = 2
+
+    def __init__(self, ctx: FieldCtx | None = None):
+        self.ctx = ctx if ctx is not None else field_ctx(self.CURVE)
+
+    def zero(self, batch_shape: tuple[int, ...]) -> ProjG1:
+        """The point at infinity (0 : 1 : 0), Montgomery form, broadcast."""
+        ctx = self.ctx
+        z = ctx.zeros(batch_shape)
+        one = jnp.broadcast_to(ctx.one_mont_col, z.shape)
+        return ProjG1(x=z, y=one, z=z)
+
+    def is_zero(self, p: ProjG1) -> jnp.ndarray:
+        return bigint_is_zero(p.z)
+
+    def from_affine(self, aff: tuple[jnp.ndarray, jnp.ndarray]) -> ProjG1:
+        x, y = aff
+        one = jnp.broadcast_to(self.ctx.one_mont_col, x.shape)
+        return ProjG1(x=x, y=y, z=one)
+
+    def neg(self, p: ProjG1) -> ProjG1:
+        """Lane-wise negation; infinity lanes pass through (bls12_377.ts:64)."""
+        negated = ProjG1(x=p.x, y=field_neg(self.ctx, p.y), z=p.z)
+        return select(self.is_zero(p), p, negated)
+
+    def neg_affine(self, aff):
+        x, y = aff
+        return (x, field_neg(self.ctx, y))
+
+    def _add_core(self, p1: ProjG1, u1, s1, zz, p2: ProjG1) -> ProjG1:
+        """Shared tail of add/add_mixed (ec_bls12_377.template.wgsl:24-52)."""
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b)
+        u2 = mm(p2.x, p1.z)
+        s2 = mm(p2.y, p1.z)
+        t = field_add(ctx, u1, u2)
+        m = field_add(ctx, s1, s2)
+        u1u2 = mm(u1, u2)
+        tt = mm(t, t)
+        r = field_sub(ctx, tt, u1u2)  # a == 0: no a*ZZ^2 term
+        f = mm(zz, m)
+        l = mm(m, f)
+        g = mm(t, l)
+        rr = mm(r, r)
+        w = field_sub(ctx, rr, g)
+        fw = mm(f, w)
+        x3 = field_add(ctx, fw, fw)
+        w2 = field_add(ctx, w, w)
+        gw2 = field_sub(ctx, g, w2)
+        rgw2 = mm(r, gw2)
+        ll = mm(l, l)
+        y3 = field_sub(ctx, rgw2, ll)
+        ff = mm(f, f)
+        fff = mm(ff, f)
+        z3 = field_add(ctx, fff, fff)
+        return ProjG1(x=x3, y=y3, z=z3)
+
+    def add(self, p1: ProjG1, p2: ProjG1) -> ProjG1:
+        """Unified projective add, branch-free infinity handling (16M)."""
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b)
+        u1 = mm(p1.x, p2.z)
+        s1 = mm(p1.y, p2.z)
+        zz = mm(p1.z, p2.z)
+        res = self._add_core(p1, u1, s1, zz, p2)
+        res = select(self.is_zero(p2), p1, res)
+        return select(self.is_zero(p1), p2, res)
+
+    def add_mixed(self, p1: ProjG1, aff) -> ProjG1:
+        """p1 + (x2, y2, z2=1): 13M. Bit-identical to add with z2 = one."""
+        x2, y2 = aff
+        p2 = self.from_affine((x2, y2))
+        res = self._add_core(p1, p1.x, p1.y, p1.z, p2)
+        return select(self.is_zero(p1), p2, res)
+
+    def double(self, p1: ProjG1) -> ProjG1:
+        """dbl-2007-bl with a = 0 (ec_bls12_377.template.wgsl:55-80).
+
+        Infinity maps to z3 = 0 by itself (s = 2*y*z = 0), no select needed.
+        """
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b)
+        xx = mm(p1.x, p1.x)
+        w = field_add(ctx, field_add(ctx, xx, xx), xx)
+        y1z1 = mm(p1.y, p1.z)
+        s = field_add(ctx, y1z1, y1z1)
+        ss = mm(s, s)
+        sss = mm(ss, s)
+        r = mm(p1.y, s)
+        rr = mm(r, r)
+        x1r = field_add(ctx, p1.x, r)
+        x1rx1r = mm(x1r, x1r)
+        b = field_sub(ctx, field_sub(ctx, x1rx1r, xx), rr)
+        ww = mm(w, w)
+        b2 = field_add(ctx, b, b)
+        h = field_sub(ctx, ww, b2)
+        x3 = mm(h, s)
+        bh = field_sub(ctx, b, h)
+        wbh = mm(w, bh)
+        rr2 = field_add(ctx, rr, rr)
+        y3 = field_sub(ctx, wbh, rr2)
+        return ProjG1(x=x3, y=y3, z=sss)
+
+
+# ---------------------------------------------------------------------------
+# Twisted Edwards BLS12 (a = -1, d = 3021): complete formulas
+# ---------------------------------------------------------------------------
+
+
+class EdwardsOps:
+    """Batched extended twisted-Edwards group ops, Montgomery form.
+
+    Affine addends are (x, y, t=x*y) triples with implicit z = 1.
+    The unified 2008-hwcd formulas are complete for a = -1 with d a
+    non-square, so identity/equal/inverse lanes need no selects.
+    """
+
+    CURVE = CurveId.EDWARDS_BLS12
+    Point = ExtEd
+    AFFINE_COORDS = 3
+
+    def __init__(self, ctx: FieldCtx | None = None):
+        self.ctx = ctx if ctx is not None else field_ctx(self.CURVE)
+        self.d_mont_col = self.ctx.const(
+            (EDWARDS_D * self.ctx.params.r) % self.ctx.params.p
+        )
+
+    def zero(self, batch_shape: tuple[int, ...]) -> ExtEd:
+        ctx = self.ctx
+        z = ctx.zeros(batch_shape)
+        one = jnp.broadcast_to(ctx.one_mont_col, z.shape)
+        return ExtEd(x=z, y=one, t=z, z=one)
+
+    def is_zero(self, p: ExtEd) -> jnp.ndarray:
+        """Identity test x == 0 and y == z (projective)."""
+        ctx = self.ctx
+        return bigint_is_zero(p.x) & bigint_is_zero(field_sub(ctx, p.y, p.z))
+
+    def from_affine(self, aff) -> ExtEd:
+        x, y, t = aff
+        one = jnp.broadcast_to(self.ctx.one_mont_col, x.shape)
+        return ExtEd(x=x, y=y, t=t, z=one)
+
+    def neg(self, p: ExtEd) -> ExtEd:
+        ctx = self.ctx
+        return ExtEd(
+            x=field_neg(ctx, p.x), y=p.y, t=field_neg(ctx, p.t), z=p.z
+        )
+
+    def neg_affine(self, aff):
+        x, y, t = aff
+        ctx = self.ctx
+        return (field_neg(ctx, x), y, field_neg(ctx, t))
+
+    def _add_core(self, p1: ExtEd, p2: ExtEd, dd) -> ExtEd:
+        """add-2008-hwcd with a = -1 folded in (h = b + a-term)."""
+        ctx = self.ctx
+        mm = lambda u, v: mont_mul(ctx, u, v)
+        a = mm(p1.x, p2.x)
+        b = mm(p1.y, p2.y)
+        t1t2 = mm(p1.t, p2.t)
+        c = mm(self.d_mont_col, t1t2)
+        x1y1 = field_add(ctx, p1.x, p1.y)
+        x2y2 = field_add(ctx, p2.x, p2.y)
+        e = field_sub(ctx, field_sub(ctx, mm(x1y1, x2y2), a), b)
+        f = field_sub(ctx, dd, c)
+        g = field_add(ctx, dd, c)
+        h = field_add(ctx, b, a)  # b - (-1)*a
+        return ExtEd(x=mm(e, f), y=mm(g, h), t=mm(e, h), z=mm(f, g))
+
+    def add(self, p1: ExtEd, p2: ExtEd) -> ExtEd:
+        dd = mont_mul(self.ctx, p1.z, p2.z)
+        return self._add_core(p1, p2, dd)
+
+    def add_mixed(self, p1: ExtEd, aff) -> ExtEd:
+        """p1 + affine (z2 = 1): d-term is just z1. Bit-identical to add."""
+        return self._add_core(p1, self.from_affine(aff), p1.z)
+
+    def double(self, p1: ExtEd) -> ExtEd:
+        """dbl-2008-hwcd with a = -1 (d-term = -a)."""
+        ctx = self.ctx
+        mm = lambda u, v: mont_mul(ctx, u, v)
+        a = mm(p1.x, p1.x)
+        b = mm(p1.y, p1.y)
+        zz = mm(p1.z, p1.z)
+        c = field_add(ctx, zz, zz)
+        d = field_neg(ctx, a)
+        xy = field_add(ctx, p1.x, p1.y)
+        e = field_sub(ctx, field_sub(ctx, mm(xy, xy), a), b)
+        g = field_add(ctx, d, b)
+        f = field_sub(ctx, g, c)
+        h = field_sub(ctx, d, b)
+        return ExtEd(x=mm(e, f), y=mm(g, h), t=mm(e, h), z=mm(f, g))
+
+
+def group_ops(curve: CurveId):
+    """Factory mirroring the reference's Curve enum dispatch."""
+    if curve == CurveId.BLS12_377:
+        return G1Ops()
+    return EdwardsOps()

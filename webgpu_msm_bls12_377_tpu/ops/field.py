@@ -1,0 +1,404 @@
+"""Vectorized multiprecision field arithmetic on TPU VPU lanes.
+
+This is the TPU-native equivalent of the reference's WGSL bigint/field/
+Montgomery/Barrett device library:
+
+- bigint add/sub/compare with carry chains:
+  src/submission/implementation/wgsl/bigint/bigint.template.wgsl:1-46
+- field add/sub/reduce: src/submission/implementation/wgsl/field/field.template.wgsl
+- carry-free Montgomery product (word_size<=13, nsafe>=num_words):
+  src/submission/implementation/wgsl/montgomery/mont_pro_product.template.wgsl:15-62
+- schoolbook widening mul + vanilla Barrett reduction:
+  src/submission/implementation/wgsl/cuzk/barrett.template.wgsl:20-82
+
+Design notes (TPU-first, not a translation):
+
+* A batch of field elements is a single uint32 array of shape
+  ``(num_words, N)`` — limb-major so each limb is a contiguous lane vector
+  the 8x128 VPU sweeps in one pass.  All functions are elementwise over the
+  trailing batch axes and broadcast: a ``(num_words, 1)`` constant operand
+  (e.g. the Montgomery constant r^2) multiplies a ``(num_words, N)`` batch.
+* Limbs are 13-bit words in uint32 lanes.  The reference's overflow
+  analysis (README.md:386-396) carries over unchanged: uint32 VPU lanes
+  hold 13x13-bit products plus accumulation headroom, so the Montgomery
+  inner loop is carry-free (nsafe=32 >= num_words=30) and only a final
+  sweep resolves carries.  uint32 wraparound on TPU matches the
+  u32-machine oracle in reference/mont.py bit for bit.
+* Carry/borrow chains are *not* 30 sequential data-dependent steps (the
+  WGSL formulation): they are resolved with a constant number of
+  full-width normalization rounds followed by a log-depth Kogge-Stone
+  generate/propagate prefix scan over the limb axis.  This keeps both the
+  XLA graph small (compile time) and the critical path short (runtime).
+* The Montgomery outer loop is a lax.scan over the multiplier limbs, so
+  the traced graph is one body regardless of limb count; XLA may unroll.
+* Everything is shape-static and branch-free (jnp.where), so the whole MSM
+  pipeline traces into one XLA program (the analogue of the reference's
+  single queue.submit command stream, submission.ts:281-288).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import CurveId, MontParams, mont_params_for
+from ..reference.limbs import to_words_le
+
+U32 = jnp.uint32
+
+
+def _col(value: int, num_words: int, word_size: int) -> jnp.ndarray:
+    """A constant bigint as a (num_words, 1) uint32 column (broadcastable)."""
+    return jnp.asarray(
+        np.array(to_words_le(value, num_words, word_size), dtype=np.uint32)[
+            :, None
+        ]
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldCtx:
+    """Device-side constants for one field configuration.
+
+    The TPU analogue of the reference's ShaderManager constant baking
+    (src/submission/implementation/cuzk/shader_manager.ts:24-78): instead of
+    rendering mustache limb constants into WGSL source, the constants are
+    jnp arrays closed over by jitted functions, so XLA folds them into the
+    compiled program.
+    """
+
+    params: MontParams
+    p_col: jnp.ndarray  # (W, 1) modulus limbs
+    r2_col: jnp.ndarray  # (W, 1) r^2 mod p — to_mont via one mont_mul
+    one_mont_col: jnp.ndarray  # (W, 1) r mod p — 1 in Montgomery form
+    one_col: jnp.ndarray  # (W, 1) plain 1 — from_mont via one mont_mul
+    mu_col: jnp.ndarray  # (W, 1) Barrett mu limbs
+
+    @property
+    def num_words(self) -> int:
+        return self.params.num_words
+
+    @property
+    def word_size(self) -> int:
+        return self.params.word_size
+
+    @property
+    def mask(self) -> int:
+        return self.params.mask
+
+    def zeros(self, batch_shape: tuple[int, ...]) -> jnp.ndarray:
+        return jnp.zeros((self.num_words, *batch_shape), dtype=U32)
+
+    def const(self, value: int) -> jnp.ndarray:
+        """Arbitrary constant as a broadcastable (W, 1) column."""
+        return _col(value, self.num_words, self.word_size)
+
+
+@lru_cache(maxsize=None)
+def field_ctx(curve: CurveId, word_size: int = 13) -> FieldCtx:
+    params = mont_params_for(curve, word_size)
+    w, n = params.word_size, params.num_words
+    return FieldCtx(
+        params=params,
+        p_col=_col(params.p, n, w),
+        r2_col=_col(params.r2, n, w),
+        one_mont_col=_col(params.r, n, w),
+        one_col=_col(1, n, w),
+        mu_col=_col(params.mu, n, w),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Carry machinery: normalization rounds + Kogge-Stone prefix scan
+# ---------------------------------------------------------------------------
+
+
+def _shift_up(c: jnp.ndarray) -> jnp.ndarray:
+    """Move per-limb carries one limb up; the top carry falls off."""
+    return jnp.concatenate([jnp.zeros_like(c[:1]), c[:-1]], axis=0)
+
+
+def _carry_prefix(
+    g: jnp.ndarray, p: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exclusive carry/borrow prefix over the limb axis (log-depth).
+
+    g[i]: limb i generates a carry; p[i]: limb i propagates an incoming
+    carry.  Returns (carry_in per limb, carry_out of the top limb).
+    """
+
+    def comb(lo, hi):
+        g_lo, p_lo = lo
+        g_hi, p_hi = hi
+        return (g_hi | (p_hi & g_lo), p_hi & p_lo)
+
+    G, P = jax.lax.associative_scan(comb, (g, p), axis=0)
+    carry_in = jnp.concatenate([jnp.zeros_like(G[:1]), G[:-1]], axis=0)
+    return carry_in, G[-1]
+
+
+def resolve_carries(
+    ctx: FieldCtx, s: jnp.ndarray, value_bits: int = 32
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalize per-limb values < 2^value_bits into canonical w-bit limbs.
+
+    Constant-round reduction (each round folds the carry field one limb up,
+    shrinking it by w bits) followed by one log-depth single-bit carry
+    ripple.  Returns (normalized limbs, carry_out bool).  Carries past the
+    top limb are dropped, mirroring the WGSL final sweep
+    (mont_pro_product.template.wgsl:52-57) — callers guarantee no overflow.
+    """
+    w, mask = ctx.word_size, ctx.mask
+    bits = value_bits
+    while bits > w + 1:
+        s = (s & mask) + _shift_up(s >> w)
+        bits = max(w, bits - w) + 1
+    g = s >> w > 0  # s < 2^(w+1): carry is 0 or 1
+    p = (s & mask) == mask
+    carry_in, carry_out = _carry_prefix(g, p)
+    return (s + carry_in.astype(U32)) & mask, carry_out
+
+
+# ---------------------------------------------------------------------------
+# Multiprecision integer primitives (bigint.template.wgsl)
+# ---------------------------------------------------------------------------
+
+
+def bigint_add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Carry-propagating add of normalized limb vectors (bigint_add:11).
+
+    The final carry is dropped, which is safe for field values since
+    2p < 2^(W*w).
+    """
+    out, _ = resolve_carries(ctx, a + b, value_bits=ctx.word_size + 1)
+    return out
+
+
+def bigint_sub(
+    ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Borrow-propagating subtract (bigint_sub:21). Returns (diff, borrow).
+
+    On borrow the result wraps mod 2^(W*w), exactly like the WGSL original;
+    callers either know a >= b or use the borrow flag to select.
+    """
+    mask = ctx.mask
+    g = a < b
+    p = a == b
+    borrow_in, borrow_out = _carry_prefix(g, p)
+    diff = (a - b - borrow_in.astype(U32)) & mask
+    return diff, borrow_out.astype(U32)
+
+
+def bigint_lt(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a < b lexicographically: the borrow-out of a - b. Bool batch."""
+    g = a < b
+    p = a == b
+    _, borrow_out = _carry_prefix(g, p)
+    return borrow_out
+
+
+def bigint_gt(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a > b lexicographically (bigint_gt:35). Bool batch."""
+    return bigint_lt(ctx, b, a)
+
+
+def bigint_is_zero(a: jnp.ndarray) -> jnp.ndarray:
+    """True where every limb is zero. Used for point-at-infinity tests."""
+    return jnp.all(a == 0, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Field ops mod p (field.template.wgsl)
+# ---------------------------------------------------------------------------
+
+
+def cond_reduce(ctx: FieldCtx, s: jnp.ndarray) -> jnp.ndarray:
+    """Subtract p where s > p strictly.
+
+    This is the Montgomery-exit `conditional_reduce` semantics
+    (mont_pro_product.template.wgsl:58-61); for inputs produced by REDC on
+    canonical operands, s == p is unreachable, so the output is canonical.
+    """
+    p = jnp.broadcast_to(ctx.p_col, s.shape)
+    diff, borrow = bigint_sub(ctx, s, p)
+    not_eq = jnp.any(diff != 0, axis=0)
+    take_diff = (borrow == 0) & not_eq  # s > p strictly
+    return jnp.where(take_diff[None, ...], diff, s)
+
+
+def field_reduce(ctx: FieldCtx, s: jnp.ndarray) -> jnp.ndarray:
+    """Subtract p where s >= p (fr_reduce, field.template.wgsl:7-16).
+
+    Unlike the reference's fr_sub (which can emit the non-canonical value p
+    for equal operands), every field op in this library keeps values
+    canonical (< p), matching the plain-bigint oracle in reference/curve.py.
+    """
+    p = jnp.broadcast_to(ctx.p_col, s.shape)
+    diff, borrow = bigint_sub(ctx, s, p)
+    return jnp.where((borrow == 0)[None, ...], diff, s)
+
+
+def field_add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a + b) mod p with one conditional subtract (fr_add)."""
+    return field_reduce(ctx, bigint_add(ctx, a, b))
+
+
+def field_sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a - b) mod p, branch-free (fr_sub, field.template.wgsl:18)."""
+    diff, borrow = bigint_sub(ctx, a, b)
+    wrapped = bigint_add(ctx, diff, jnp.broadcast_to(ctx.p_col, diff.shape))
+    return jnp.where((borrow == 1)[None, ...], wrapped, diff)
+
+
+def field_neg(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """(-a) mod p with the canonical-zero guard (bls12_377.ts:64-69)."""
+    diff, _ = bigint_sub(ctx, jnp.broadcast_to(ctx.p_col, a.shape), a)
+    return jnp.where(bigint_is_zero(a)[None, ...], a, diff)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery product — the hot function (mont_pro_product.template.wgsl)
+# ---------------------------------------------------------------------------
+
+
+def mont_mul(
+    ctx: FieldCtx, x: jnp.ndarray, y: jnp.ndarray, unroll: int = 1
+) -> jnp.ndarray:
+    """Carry-free Montgomery product: returns x*y*r^-1 mod p, canonical.
+
+    Vectorized mirror of the reference's production "optimised" variant
+    (mont_pro_product.template.wgsl:15-62): per multiplier limb x_i the
+    quotient digit qi is derived from the running low limb, and the inner
+    loop accumulates x_i*y_j + qi*p_j carry-free across all limbs at once —
+    one fused (W, N) multiply-add pair per step on the VPU.  Valid iff
+    nsafe >= num_words (w=13: nsafe=32 >= 30).
+
+    The outer loop is a lax.scan over the limbs of x (compact graph;
+    ``unroll`` is forwarded to XLA).  x and y broadcast over batch axes;
+    pass a (W, 1) constant column for scalar multiplicands.
+    """
+    w, mask = ctx.word_size, ctx.mask
+    n = ctx.num_words
+    n0 = jnp.uint32(ctx.params.n0)
+
+    batch = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])
+    # Pre-broadcast everything the loop body touches to the full (W, N)
+    # shape: dual-axis broadcast multiplies (e.g. (1,N)*(W,1)) and
+    # squeeze/expand row concats inside a scan body trigger pathological
+    # XLA compile times, while same-shape elementwise + slice-concat
+    # compiles and fuses cleanly.
+    yfull = jnp.broadcast_to(y, (n, *batch))
+    pfull = jnp.broadcast_to(ctx.p_col, (n, *batch))
+    xs = jnp.broadcast_to(x, (n, *batch))
+    s0 = jnp.zeros((n, *batch), dtype=U32)
+    zero_row = jnp.zeros((1, *batch), dtype=U32)
+    zero_rest = jnp.zeros((n - 1, *batch), dtype=U32)
+
+    def body(s, xi):
+        t = s[0] + xi * yfull[0]
+        qi = (n0 * (t & mask)) & mask
+        c = (t + qi * pfull[0]) >> w
+        # s_new[j] = s[j+1] + x_i*y[j+1] + qi*p[j+1] for j < n-1 (+c at j=0)
+        prod = xi[None] * yfull + qi[None] * pfull
+        c_pad = jnp.concatenate([c[None], zero_rest], axis=0)
+        s2 = jnp.concatenate([s[1:] + prod[1:], zero_row], axis=0) + c_pad
+        return s2, None
+
+    s, _ = jax.lax.scan(body, s0, xs, unroll=unroll)
+
+    # final carry sweep (mont_pro_product.template.wgsl:52-57)
+    s, _ = resolve_carries(ctx, s, value_bits=32)
+    return cond_reduce(ctx, s)
+
+
+def to_mont(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """a -> a*r mod p via a single Montgomery product with r^2.
+
+    The reference enters Montgomery form with a Barrett field_mul(a, r)
+    (convert_point_coords...template.wgsl:41-144); multiplying by r^2 under
+    REDC computes the identical canonical value with one cheaper kernel.
+    """
+    return mont_mul(ctx, a, ctx.r2_col)
+
+
+def from_mont(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """a -> a*r^-1 mod p (Montgomery exit; submission.ts:290-304)."""
+    return mont_mul(ctx, a, ctx.one_col)
+
+
+# ---------------------------------------------------------------------------
+# Widening schoolbook multiply + vanilla Barrett (barrett.template.wgsl)
+# ---------------------------------------------------------------------------
+
+
+def wide_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Schoolbook W x W -> 2W limb multiply (barrett.template.wgsl mul:20).
+
+    Accumulates per-product low/high halves into a (2W, N) buffer — peak
+    accumulator 2W * 2^w < 2^19, far inside uint32 — then one carry pass.
+    """
+    w, mask = ctx.word_size, ctx.mask
+    n = a.shape[0]
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    res0 = jnp.zeros((2 * n, *batch), dtype=U32)
+    bb = jnp.broadcast_to(b, (n, *batch))
+    pad = jnp.zeros((n, *batch), dtype=U32)
+    zeros1 = jnp.zeros((1, *batch), dtype=U32)
+
+    # Rather than dynamic-slice updates per limb, shift the *accumulator*
+    # down one limb each step: after step i the accumulator window is
+    # aligned so that adding the a_i*b partial product at window offset 0
+    # lands at offset i of the final result; the completed lowest limb is
+    # emitted each step.  res_final[k] = sum_{i+j=k} a_i*b_j (lo/hi split).
+    def body(res, ai):
+        c = ai[None, ...] * bb
+        lo = jnp.concatenate([c & mask, pad], axis=0)
+        hi = jnp.concatenate([zeros1, c >> w, pad[1:]], axis=0)
+        res = res + lo + hi
+        out_limb = res[0]
+        res = jnp.concatenate([res[1:], zeros1], axis=0)
+        return res, out_limb
+
+    aa = jnp.broadcast_to(a, (n, *batch))
+    res, low_limbs = jax.lax.scan(body, res0, aa)
+    # low_limbs: final limbs 0..n-1 (complete when emitted); res: n..3n-1,
+    # of which only the first n carry data.  Peak accumulator 2n*2^w < 2^19.
+    full = jnp.concatenate([low_limbs, res[:n]], axis=0)
+    out, _ = resolve_carries(ctx, full, value_bits=w + 6)
+    return out
+
+
+def _get_higher_with_slack(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """Approximate floor(a / 2^p_width) (barrett.template.wgsl:52)."""
+    w, mask = ctx.word_size, ctx.mask
+    n = ctx.num_words
+    slack = ctx.params.slack
+    hi = a[n : 2 * n]
+    lo = a[n - 1 : 2 * n - 1]
+    return ((hi << slack) + (lo >> (w - slack))) & mask
+
+
+def barrett_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full a*b mod p via vanilla Barrett (barrett.template.wgsl field_mul:60).
+
+    Kept for parity with the reference's stage-1 path and as an independent
+    check on mont_mul: barrett_mul(a, one_mont) == to_mont(a).
+    """
+    n = ctx.num_words
+    p_wide = jnp.concatenate([ctx.p_col, jnp.zeros_like(ctx.p_col)], axis=0)
+
+    xy = wide_mul(ctx, a, b)
+    xy_hi = _get_higher_with_slack(ctx, xy)
+    l = wide_mul(ctx, xy_hi, ctx.mu_col)
+    l_hi = _get_higher_with_slack(ctx, l)
+    lp = wide_mul(ctx, l_hi, ctx.p_col)
+    r_wide, _ = bigint_sub(ctx, xy, lp)
+
+    reduced, underflow = bigint_sub(ctx, r_wide, p_wide)
+    r_wide = jnp.where((underflow == 0)[None, ...], reduced, r_wide)
+    return cond_reduce(ctx, r_wide[:n])
