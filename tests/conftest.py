@@ -20,6 +20,13 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+# The environment's sitecustomize force-registers the experimental 'axon'
+# TPU backend and overrides the JAX_PLATFORMS env var, so the platform must
+# be pinned programmatically (env vars alone are NOT honored here).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import random
 
 import pytest

@@ -1,0 +1,105 @@
+"""End-to-end engine tests: full cuZK pipeline vs the naive MSM oracle.
+
+The miniature-pipeline strategy mirrors the reference's cuzk.test.ts
+(small n, small chunk_size, equality with the naive sum), plus wire-format
+(byte buffer) input paths and a second chunk-size class for generality.
+"""
+
+import random
+
+import pytest
+
+from webgpu_msm_bls12_377_tpu import compute_msm, compute_msm_edwards
+from webgpu_msm_bls12_377_tpu.models.cuzk import CuzkMsmEngine
+from webgpu_msm_bls12_377_tpu.params import CurveId
+from webgpu_msm_bls12_377_tpu.reference import curve as crv
+from webgpu_msm_bls12_377_tpu.reference.limbs import bigints_to_buffer_le
+from webgpu_msm_bls12_377_tpu.reference.msm import EDWARDS, G1, naive_msm
+
+N = 24  # one size class -> one compile shared by every test in this module
+
+
+@pytest.fixture(scope="module")
+def g1_case():
+    rng = random.Random("engine-g1")
+    pts = [
+        crv.g1_scalar_mult(crv.G1_GENERATOR, rng.randrange(1, 1 << 64))
+        for _ in range(N)
+    ]
+    scalars = [rng.randrange(0, 1 << 253) for _ in range(N)]
+    # include edge scalars: 0, 1, max window patterns
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = (1 << 253) - 1
+    expected = crv.g1_to_affine(naive_msm(pts, scalars, G1))
+    return pts, scalars, expected
+
+
+@pytest.fixture(scope="module")
+def ed_case():
+    rng = random.Random("engine-ed")
+    pts = [
+        crv.ed_scalar_mult(crv.ED_GENERATOR, rng.randrange(1, 1 << 64))
+        for _ in range(N)
+    ]
+    scalars = [rng.randrange(0, 1 << 253) for _ in range(N)]
+    scalars[0] = 0
+    expected = crv.ed_to_affine(naive_msm(pts, scalars, EDWARDS))
+    return pts, scalars, expected
+
+
+def test_g1_int_inputs(g1_case):
+    pts, scalars, expected = g1_case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    got = compute_msm(aff, scalars)
+    assert (got["x"], got["y"]) == expected
+
+
+def test_g1_buffer_inputs(g1_case):
+    """Reference wire format: 96-byte points, 32-byte scalars (LE)."""
+    pts, scalars, expected = g1_case
+    coords = []
+    for p in pts:
+        x, y = crv.g1_to_affine(p)
+        coords.extend([x, y])
+    points_buf = bigints_to_buffer_le(coords, 48)
+    scalars_buf = bigints_to_buffer_le(scalars, 32)
+    got = compute_msm(points_buf, scalars_buf)
+    assert (got["x"], got["y"]) == expected
+
+
+def test_edwards_int_inputs(ed_case):
+    pts, scalars, expected = ed_case
+    aff = [crv.ed_to_affine(p) for p in pts]
+    got = compute_msm_edwards(aff, scalars)
+    assert (got["x"], got["y"]) == expected
+
+
+def test_edwards_buffer_inputs(ed_case):
+    pts, scalars, expected = ed_case
+    coords = []
+    for p in pts:
+        x, y = crv.ed_to_affine(p)
+        coords.extend([x, y])
+    points_buf = bigints_to_buffer_le(coords, 32)
+    scalars_buf = bigints_to_buffer_le(scalars, 32)
+    got = compute_msm_edwards(points_buf, scalars_buf)
+    assert (got["x"], got["y"]) == expected
+
+
+def test_g1_chunk_size_8(g1_case):
+    """A second window-size class exercises generic decomposition/BPR."""
+    pts, scalars, expected = g1_case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    eng = CuzkMsmEngine(CurveId.BLS12_377, chunk_size=8)
+    got = eng.compute_msm(aff, scalars)
+    assert (got["x"], got["y"]) == expected
+
+
+def test_input_validation():
+    eng = CuzkMsmEngine(CurveId.BLS12_377)
+    with pytest.raises(ValueError):
+        eng.compute_msm([], [])
+    x, y = crv.g1_to_affine(crv.G1_GENERATOR)
+    with pytest.raises(ValueError):
+        eng.compute_msm([(x, y)], [1, 2])

@@ -1,0 +1,216 @@
+"""The cuZK MSM engine: one jitted XLA program per size class.
+
+TPU-native equivalent of the reference's compute_msm orchestrator
+(src/submission/submission.ts:85-327).  Where the reference records four
+GPU stages into a single WebGPU command stream and submits once
+(submission.ts:281-288), this engine traces the four stages into ONE jitted
+function — convert/decompose -> sort (transpose) -> lockstep bucket
+accumulation (SMVP) -> running-sum reduction (BPR) -> Montgomery exit —
+so XLA fuses and schedules the whole MSM as a single device program.
+
+Host-side finalization mirrors the reference (submission.ts:290-326): only
+num_windows points are read back; the Horner fold across windows runs on
+the host with plain bigints.
+
+Compilation management mirrors the reference's recompile-vs-warm
+discipline (shader_manager.ts:71-78, full_benchmarks.ts:60-73): one
+compiled program per (curve, chunk_size, n) size class, cached; a
+force_recompile flag defeats the cache to measure cold-compile time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bpr import reduce_buckets
+from ..ops.buckets import accumulate_buckets, build_bucket_plan, round_class
+from ..ops.convert import (
+    ints_to_words,
+    points_buffer_to_words,
+    scalars_buffer_to_words,
+    u32_words_to_limbs_mont,
+)
+from ..ops.curve import EdwardsOps, G1Ops, group_ops
+from ..ops.decompose import decompose_scalars_signed
+from ..ops.field import from_mont, mont_mul
+from ..params import CurveId
+from ..reference import curve as ocurve
+from ..reference import msm as omsm
+from ..reference.limbs import from_words_le_unchecked
+
+SCALAR_BITS = 256  # 8 LE u32 words per scalar, reference wire format
+
+
+def choose_chunk_size(input_size: int) -> int:
+    """Window size rule (submission.ts:97): 16 for n >= 2^16, else 4."""
+    return 16 if input_size >= 65536 else 4
+
+
+class CuzkMsmEngine:
+    """End-to-end MSM engine for one curve.
+
+    Public entry point compute_msm(points, scalars) -> {"x": int, "y": int},
+    mirroring the reference submission API (submission.ts:85-94).
+    """
+
+    _compiled: dict[tuple, Any] = {}
+
+    def __init__(
+        self,
+        curve: CurveId,
+        *,
+        force_recompile: bool = False,
+        num_bpr_threads: int = 256,
+        chunk_size: int | None = None,
+    ):
+        self.curve = curve
+        self.group = group_ops(curve)
+        self.ctx = self.group.ctx
+        self.coord_bytes = 48 if curve == CurveId.BLS12_377 else 32
+        self.force_recompile = force_recompile
+        self.num_bpr_threads = num_bpr_threads
+        self.chunk_size_override = chunk_size
+        if curve == CurveId.BLS12_377:
+            self.ogroup = omsm.G1
+        else:
+            self.ogroup = omsm.EDWARDS
+
+    # -- the jitted pipeline ------------------------------------------------
+    #
+    # Two device programs per size class:
+    #   plan:  convert/decompose + sort-transpose; returns the Montgomery
+    #          point table and the bucket segment layout.
+    #   main:  SMVP bucket accumulation (static round count) + BPR +
+    #          Montgomery exit.
+    # Exactly one scalar (the max bucket length) crosses back to the host
+    # between them, to pick the static SMVP round-count class — a
+    # while_loop would avoid the sync but hits a ~100x XLA/TPU compile
+    # pathology when Montgomery lax.scans nest under it (ops/buckets.py).
+
+    def _build_plan_fn(self, chunk_size: int):
+        ctx = self.ctx
+        num_windows = SCALAR_BITS // chunk_size
+        is_edwards = isinstance(self.group, EdwardsOps)
+
+        def plan_fn(point_words, scalar_words):
+            xm = u32_words_to_limbs_mont(ctx, point_words[0])
+            ym = u32_words_to_limbs_mont(ctx, point_words[1])
+            if is_edwards:
+                table = jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
+            else:
+                table = jnp.stack([xm, ym])
+            digits = decompose_scalars_signed(
+                scalar_words, chunk_size, num_windows
+            )
+            plan = build_bucket_plan(digits, chunk_size)
+            return table, plan
+
+        return plan_fn
+
+    def _build_main_fn(self, chunk_size: int, num_rounds: int):
+        ctx = self.ctx
+        group = self.group
+        num_windows = SCALAR_BITS // chunk_size
+        bpr_threads = self.num_bpr_threads
+
+        def main_fn(table, plan):
+            buckets = accumulate_buckets(group, table, plan, num_rounds)
+            wsums = reduce_buckets(
+                group, buckets, num_windows, chunk_size, bpr_threads
+            )
+            # Montgomery exit on device (submission.ts:290-304)
+            return tuple(from_mont(ctx, c) for c in wsums)
+
+        return main_fn
+
+    def _get_compiled(self, kind: str, chunk_size: int, n: int, rounds=None):
+        key = (self.curve, kind, chunk_size, n, rounds, self.num_bpr_threads)
+        if self.force_recompile or key not in self._compiled:
+            # a fresh jit wrapper defeats jax's executable cache, mirroring
+            # the reference's injected-dead-code recompile trick
+            if kind == "plan":
+                fn = self._build_plan_fn(chunk_size)
+            else:
+                fn = self._build_main_fn(chunk_size, rounds)
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
+
+    # -- input normalization (reference wire formats) -----------------------
+
+    def _prepare_points(self, points: Any) -> np.ndarray:
+        if isinstance(points, (bytes, bytearray, memoryview)):
+            return points_buffer_to_words(bytes(points), self.coord_bytes)
+        if isinstance(points, np.ndarray) and points.dtype == np.uint32:
+            return points  # already (2, coord_words, N)
+        num_u32 = self.coord_bytes // 4
+        xs = ints_to_words([p[0] for p in points], num_u32)
+        ys = ints_to_words([p[1] for p in points], num_u32)
+        return np.stack([xs, ys])
+
+    def _prepare_scalars(self, scalars: Any) -> np.ndarray:
+        if isinstance(scalars, (bytes, bytearray, memoryview)):
+            return scalars_buffer_to_words(bytes(scalars))
+        if isinstance(scalars, np.ndarray) and scalars.dtype == np.uint32:
+            return scalars
+        return ints_to_words(list(scalars), SCALAR_BITS // 32)
+
+    # -- host finalization --------------------------------------------------
+
+    def _window_points(self, coords) -> list:
+        """Device limb coords -> oracle points (one per window)."""
+        w = self.ctx.word_size
+        arrs = [np.asarray(c) for c in coords]
+        num_windows = arrs[0].shape[1]
+        pts = []
+        for j in range(num_windows):
+            vals = [
+                from_words_le_unchecked(a[:, j].tolist(), w) for a in arrs
+            ]
+            if isinstance(self.group, G1Ops):
+                pts.append(ocurve.ProjectivePoint(*vals))
+            else:
+                pts.append(ocurve.ExtendedPoint(*vals))
+        return pts
+
+    def _finalize(self, coords, chunk_size: int) -> dict[str, int]:
+        window_pts = self._window_points(coords)
+        result = omsm.horner(window_pts, chunk_size, self.ogroup)
+        if isinstance(self.group, G1Ops):
+            x, y = ocurve.g1_to_affine(result)
+        else:
+            x, y = ocurve.ed_to_affine(result)
+        return {"x": x, "y": y}
+
+    # -- public API ---------------------------------------------------------
+
+    def msm_device(self, point_words, scalar_words, chunk_size: int):
+        """Run the jitted pipeline; returns per-window limb coords.
+
+        Exposed separately so benchmarks can time the device program alone.
+        """
+        n = point_words.shape[-1]
+        plan_fn = self._get_compiled("plan", chunk_size, n)
+        table, plan = plan_fn(
+            jnp.asarray(point_words), jnp.asarray(scalar_words)
+        )
+        rounds = round_class(int(jnp.max(plan.lens)))
+        main_fn = self._get_compiled("main", chunk_size, n, rounds)
+        return main_fn(table, plan)
+
+    def compute_msm(self, points: Any, scalars: Any) -> dict[str, int]:
+        point_words = self._prepare_points(points)
+        scalar_words = self._prepare_scalars(scalars)
+        n = point_words.shape[-1]
+        if scalar_words.shape[-1] != n:
+            raise ValueError(
+                f"point/scalar count mismatch: {n} vs {scalar_words.shape[-1]}"
+            )
+        if n == 0:
+            raise ValueError("empty MSM")
+        chunk_size = self.chunk_size_override or choose_chunk_size(n)
+        coords = self.msm_device(point_words, scalar_words, chunk_size)
+        return self._finalize(coords, chunk_size)

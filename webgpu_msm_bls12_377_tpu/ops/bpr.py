@@ -1,0 +1,117 @@
+"""Stage 4 — parallel running-sum bucket reduction (cuZK Algorithm 4).
+
+TPU-native equivalent of the reference's two-entry-point BPR shader
+(src/submission/implementation/wgsl/cuzk/bpr.template.wgsl:69-173) and its
+CPU models parallel_bucket_reduction_1/2 (bpr.ts:72-126):
+
+- stage 1: every (window, thread) lane walks its block of buckets from the
+  top down, keeping the running sums m (bucket total) and g (weighted
+  total).  All windows * num_threads lanes advance in lockstep, one
+  bucket gather + two point-adds per step, bpt-1 steps (a lax.fori_loop).
+- stage 2: g += m * s with the static per-lane scalar
+  s = bpt * (num_threads - thread - 1), computed by a vectorized
+  double-and-add whose bit masks are compile-time constants
+  (bpr.template.wgsl double_and_add:42, stage_2:125-173).
+- window reduction: the reference reads 16*256 g-points back and sums on
+  the CPU (submission.ts:294-308); here a log2(T)-step on-device tree add
+  folds the thread lanes so only num_windows points leave the chip.
+
+The reference splits BPR into two dispatches for an Apple-GPU driver bug
+(README.md:267); under XLA it is simply one fused program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .curve import select
+
+
+def reduce_buckets(
+    group,
+    buckets,
+    num_windows: int,
+    chunk_size: int,
+    num_threads: int = 256,
+):
+    """Window sums from the (window-major, slot) bucket point batch.
+
+    buckets: point batch with num_windows * 2^(chunk_size-1) lanes.
+    Returns a point batch with num_windows lanes (window j's bucket-weighted
+    sum, i.e. the reference's per-subtask reduced point).
+    """
+    h = 1 << (chunk_size - 1)
+    t_count = min(num_threads, h)
+    bpt = h // t_count
+    lanes = num_windows * t_count
+
+    wi = np.repeat(np.arange(num_windows, dtype=np.int32), t_count)
+    tf = np.tile(np.arange(t_count, dtype=np.int32), num_windows)
+    base = jnp.asarray(wi * h + (t_count - tf) * bpt)  # one past block top
+    idx0 = jnp.asarray(
+        np.where(tf == 0, wi * h, wi * h + (t_count - tf) * bpt)
+    )
+
+    def gather(point_batch, idx):
+        return type(point_batch)(
+            *(jnp.take(c, idx, axis=1) for c in point_batch)
+        )
+
+    # --- stage 1: per-lane running sums (bpr.template.wgsl stage_1:69-121)
+    # lax.scan, not fori_loop/while_loop: nesting the Montgomery scans
+    # under a while_loop is a ~100x XLA/TPU compile pathology (ops/buckets.py)
+    m0 = gather(buckets, idx0)
+    g0 = m0
+
+    def body(mg, i):
+        m, g = mg
+        bi = gather(buckets, base - 1 - i)
+        m = group.add(m, bi)
+        g = group.add(g, m)
+        return (m, g), None
+
+    (m, g), _ = jax.lax.scan(
+        body, (m0, g0), jnp.arange(bpt - 1, dtype=jnp.int32)
+    )
+
+    # --- stage 2: g += m * s, s static per lane (stage_2:125-173)
+    s_lane = (bpt * (t_count - 1 - tf)).astype(np.int64)
+    nbits = max(int(s_lane.max()).bit_length(), 1)
+    bit_table = jnp.asarray(
+        np.stack([(s_lane >> b) & 1 for b in range(nbits)]).astype(bool)
+    )  # (nbits, lanes) compile-time constant
+
+    def bit_body(rt, bits_row):
+        result, temp = rt
+        added = group.add(result, temp)
+        result = select(bits_row, added, result)
+        return (result, group.double(temp)), None
+
+    (g, _), _ = jax.lax.scan(bit_body, (g, m), bit_table)
+
+    # --- fold thread lanes per window: log2(T) tree adds on device
+    folded = g
+    width = t_count
+    while width > 1:
+        half = width // 2
+        lo = type(folded)(
+            *(
+                c.reshape(-1, num_windows, width)[..., :half].reshape(
+                    c.shape[0], -1
+                )
+                for c in folded
+            )
+        )
+        hi = type(folded)(
+            *(
+                c.reshape(-1, num_windows, width)[..., half:].reshape(
+                    c.shape[0], -1
+                )
+                for c in folded
+            )
+        )
+        folded = group.add(lo, hi)
+        width = half
+    return folded  # num_windows lanes

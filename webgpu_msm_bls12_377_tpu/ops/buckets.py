@@ -1,0 +1,139 @@
+"""Stages 2+3 — scatter-free bucket accumulation (transpose + SMVP).
+
+The reference builds, per window, a sparse CSR matrix whose column index is
+the stored signed digit, serially transposes it to CSC with atomics
+(transpose_serial.wgsl:32-76), then walks each CSC column accumulating
+points into its unique bucket (smvp_bls12_377.template.wgsl:70-160).
+
+CSR/CSC + atomics is a GPU idiom.  The TPU-native formulation of the same
+computation is sort + segment walk:
+
+1. every (window, point) pair is mapped to a bucket key
+   ``window * 2^(s-1) + slot`` and a value packing (point index, sign);
+   zero digits get a sentinel key that sorts past every real bucket —
+   this *is* the sparse-matrix transpose, done by a single stable
+   radix-style sort over all windows at once (XLA sort, no atomics);
+2. per-bucket segment offsets come from a vectorized binary search
+   (searchsorted) — the analogue of the CSC col_ptr array;
+3. bucket accumulation walks all buckets in lockstep: round t gathers the
+   t-th point of every bucket and masked-adds it into the bucket's
+   accumulator lane (one mixed point-add over all windows*2^(s-1) lanes on
+   the VPU).  The trip count is static: the engine reads the plan's
+   max bucket length back (one scalar), rounds it up to a power-of-two
+   size class, and runs a lax.scan of exactly that many rounds — compiled
+   once per class.  (A lax.while_loop with the traced max would avoid the
+   scalar sync, but nesting the Montgomery lax.scans under a while_loop
+   triggers a ~100x XLA/TPU compile-time pathology, measured 4s -> 480s
+   for one point-add; scan-in-scan compiles cleanly.  Load imbalance
+   costs masked lanes, not dispatches.)
+
+Signed-bucket mapping (mirrors cpu_smvp_signed, smvp.ts:5-67): stored
+digit d, h = 2^(s-1):
+  d == h  -> digit 0, skipped;
+  d >  h  -> bucket slot d-h, positive;
+  0 < d < h -> bucket slot h-d, negative;
+  d == 0  -> bucket slot 0 (weight h, the "top" bucket), negative.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .curve import select
+
+
+class BucketPlan(NamedTuple):
+    """Sorted bucket layout: the TPU analogue of the CSC arrays."""
+
+    sorted_vals: jnp.ndarray  # (K*N,) int32: point idx | sign_pos << 30
+    starts: jnp.ndarray  # (num_buckets,) int32 segment offsets
+    lens: jnp.ndarray  # (num_buckets,) int32 segment lengths
+
+
+SIGN_BIT = 30
+IDX_MASK = (1 << SIGN_BIT) - 1
+
+
+def build_bucket_plan(
+    digits: jnp.ndarray, chunk_size: int
+) -> BucketPlan:
+    """Map (window, point) digit pairs to sorted bucket segments.
+
+    digits: (num_windows, N) stored signed digits from decompose.
+    Replaces transpose_serial.wgsl (atomic histogram + prefix sum +
+    scatter) with one stable sort + binary search, covering all windows in
+    a single call.
+    """
+    num_windows, n = digits.shape
+    h = 1 << (chunk_size - 1)
+    num_buckets = num_windows * h
+
+    d = digits.astype(jnp.int32)
+    hh = jnp.int32(h)
+    slot = jnp.where(d == 0, 0, jnp.where(d > hh, d - hh, hh - d))
+    sign_pos = (d > hh).astype(jnp.int32)
+    valid = d != hh
+
+    window_ids = jax.lax.broadcasted_iota(jnp.int32, (num_windows, n), 0)
+    point_ids = jax.lax.broadcasted_iota(jnp.int32, (num_windows, n), 1)
+
+    keys = jnp.where(valid, window_ids * hh + slot, jnp.int32(num_buckets))
+    vals = point_ids | (sign_pos << SIGN_BIT)
+
+    sorted_keys, sorted_vals = jax.lax.sort(
+        (keys.reshape(-1), vals.reshape(-1)), dimension=0, num_keys=1
+    )
+
+    bucket_ids = jnp.arange(num_buckets + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(sorted_keys, bucket_ids, side="left").astype(
+        jnp.int32
+    )
+    starts = bounds[:-1]
+    lens = bounds[1:] - starts
+    return BucketPlan(sorted_vals=sorted_vals, starts=starts, lens=lens)
+
+
+def round_class(max_len: int, minimum: int = 8) -> int:
+    """Static SMVP round count: max bucket length rounded up to a power of
+    two, so at most O(log n) distinct programs are ever compiled."""
+    m = max(int(max_len), minimum)
+    return 1 << (m - 1).bit_length()
+
+
+def accumulate_buckets(
+    group, table: jnp.ndarray, plan: BucketPlan, num_rounds: int
+):
+    """SMVP: per-bucket signed point sums over all windows in lockstep.
+
+    table: (num_affine_coords, W, N) Montgomery-form affine point table
+    (G1: x, y; Edwards: x, y, t).  num_rounds must be >= the maximum
+    bucket length (see round_class).  Returns a point batch with one lane
+    per bucket, ordered (window-major, slot) — the reference's per-subtask
+    bucket array (smvp_bls12_377.template.wgsl:137-156).
+    """
+    num_buckets = plan.starts.shape[0]
+    total = plan.sorted_vals.shape[0]
+    acc0 = group.zero((num_buckets,))
+
+    def body(acc, t):
+        idx = jnp.minimum(plan.starts + t, jnp.int32(total - 1))
+        valid = t < plan.lens
+        v = plan.sorted_vals[idx]
+        sign_pos = (v >> SIGN_BIT) == 1
+        pidx = v & IDX_MASK
+        gathered = jnp.take(table, pidx, axis=2)  # (C, W, B)
+        aff = tuple(gathered[c] for c in range(gathered.shape[0]))
+        neg = group.neg_affine(aff)
+        signed_aff = tuple(
+            jnp.where(sign_pos[None, :], pa, na) for pa, na in zip(aff, neg)
+        )
+        new = group.add_mixed(acc, signed_aff)
+        return select(valid, new, acc), None
+
+    acc, _ = jax.lax.scan(
+        body, acc0, jnp.arange(num_rounds, dtype=jnp.int32)
+    )
+    return acc

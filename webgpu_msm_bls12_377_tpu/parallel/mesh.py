@@ -1,0 +1,199 @@
+"""Multi-chip MSM: shard points over a device mesh, combine per-window sums.
+
+The reference is single-device; its README lists multi-device MSM as future
+work (README.md:553).  The TPU-native scaling design (BASELINE.json north
+star, SURVEY.md §2.7):
+
+- points and scalars are sharded over a 1-D mesh axis ("points"): every
+  chip runs the full cuZK pipeline — decompose, sort-transpose, bucket
+  accumulation, running-sum reduction — on its local shard with zero
+  communication (bucket accumulation is chip-local by construction).
+- only the per-window partial sums leave the chip: num_windows projective
+  points, a few KB.  They are combined with one all_gather over ICI and a
+  log-depth on-device point-add tree, so the result is replicated.  Group
+  addition is not a psum-able monoid, which is why the reduction is
+  all_gather + explicit tree rather than an XLA all-reduce — and why
+  reducing *after* BPR (4096 points -> num_windows points per chip) cuts
+  ICI volume by ~2^15 vs all-reducing bucket partials (SURVEY.md §7).
+- the tiny Horner fold across windows stays on the host, as in the
+  reference (submission.ts:310-318).
+
+Scaling model: per-chip work is n/D point-adds for accumulation plus an
+O(buckets) BPR term independent of n; communication is O(D * num_windows)
+points.  Efficiency at 2^20 over 16 chips is therefore dominated by the
+fixed BPR term — the bench measures it directly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.cuzk import SCALAR_BITS, CuzkMsmEngine, choose_chunk_size
+from ..ops.bpr import reduce_buckets
+from ..ops.buckets import (
+    BucketPlan,
+    accumulate_buckets,
+    build_bucket_plan,
+    round_class,
+)
+from ..ops.convert import u32_words_to_limbs_mont
+from ..ops.decompose import decompose_scalars_signed
+from ..ops.field import from_mont, mont_mul
+from ..ops.curve import EdwardsOps
+
+
+AXIS = "points"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D data mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), axis_names=(AXIS,))
+
+
+class ShardedMsmEngine(CuzkMsmEngine):
+    """CuzkMsmEngine that shards the point/scalar axis over a mesh.
+
+    compute_msm() keeps the reference's single-call API; inputs are padded
+    to a multiple of the mesh size with zero scalars (zero digits map to
+    the skipped bucket sentinel, so padding contributes nothing).
+    """
+
+    def __init__(self, curve, mesh: Mesh | None = None, **kw):
+        super().__init__(curve, **kw)
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+    def _build_sharded_plan_fn(self, chunk_size: int):
+        ctx = self.ctx
+        mesh = self.mesh
+        num_windows = SCALAR_BITS // chunk_size
+        is_edwards = isinstance(self.group, EdwardsOps)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(None, None, AXIS), P(None, AXIS)),
+            out_specs=(
+                P(None, None, AXIS),  # table: (C, W, n) sharded on points
+                P(AXIS),  # sorted_vals: per-chip slabs
+                P(AXIS, None),  # starts: (D, num_buckets)
+                P(AXIS, None),  # lens: (D, num_buckets)
+                P(AXIS),  # per-chip max bucket length: (D,)
+            ),
+            check_rep=False,
+        )
+        def plan_fn(point_words, scalar_words):
+            xm = u32_words_to_limbs_mont(ctx, point_words[0])
+            ym = u32_words_to_limbs_mont(ctx, point_words[1])
+            if is_edwards:
+                table = jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
+            else:
+                table = jnp.stack([xm, ym])
+            digits = decompose_scalars_signed(
+                scalar_words, chunk_size, num_windows
+            )
+            plan = build_bucket_plan(digits, chunk_size)
+            return (
+                table,
+                plan.sorted_vals,
+                plan.starts[None],
+                plan.lens[None],
+                jnp.max(plan.lens)[None],
+            )
+
+        return plan_fn
+
+    def _build_sharded_main_fn(self, chunk_size: int, num_rounds: int):
+        ctx = self.ctx
+        group = self.group
+        mesh = self.mesh
+        num_windows = SCALAR_BITS // chunk_size
+        bpr_threads = self.num_bpr_threads
+        n_dev = mesh.devices.size
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(None, None, AXIS),
+                P(AXIS),
+                P(AXIS, None),
+                P(AXIS, None),
+            ),
+            out_specs=P(),
+            check_rep=False,
+        )
+        def main_fn(table, sorted_vals, starts, lens):
+            plan = BucketPlan(
+                sorted_vals=sorted_vals, starts=starts[0], lens=lens[0]
+            )
+            buckets = accumulate_buckets(group, table, plan, num_rounds)
+            wsums = reduce_buckets(
+                group, buckets, num_windows, chunk_size, bpr_threads
+            )
+            stacked = jnp.stack(list(wsums))  # (C, W, num_windows)
+            # per-window partial sums ride ICI once; group addition is not
+            # psum-able, so: all_gather + log/linear on-device add tree
+            gathered = jax.lax.all_gather(stacked, AXIS)  # (D, C, W, nw)
+            acc = type(wsums)(*(gathered[0, c] for c in range(len(wsums))))
+            for d in range(1, n_dev):
+                other = type(wsums)(
+                    *(gathered[d, c] for c in range(len(wsums)))
+                )
+                acc = group.add(acc, other)
+            return jnp.stack([from_mont(ctx, c) for c in acc])
+
+        return main_fn
+
+    def msm_device(self, point_words, scalar_words, chunk_size: int):
+        n = point_words.shape[-1]
+        d = self.mesh.devices.size
+        if n % d != 0:
+            pad = d - n % d
+            point_words = np.concatenate(
+                [point_words, np.zeros((*point_words.shape[:-1], pad), np.uint32)],
+                axis=-1,
+            )
+            scalar_words = np.concatenate(
+                [scalar_words, np.zeros((8, pad), np.uint32)], axis=-1
+            )
+        pw = jax.device_put(
+            jnp.asarray(point_words),
+            NamedSharding(self.mesh, P(None, None, AXIS)),
+        )
+        sw = jax.device_put(
+            jnp.asarray(scalar_words), NamedSharding(self.mesh, P(None, AXIS))
+        )
+        n_pad = point_words.shape[-1]
+        plan_fn = self._get_compiled("plan", chunk_size, n_pad)
+        table, sorted_vals, starts, lens, maxes = plan_fn(pw, sw)
+        rounds = round_class(int(jnp.max(maxes)))
+        main_fn = self._get_compiled("main", chunk_size, n_pad, rounds)
+        out = main_fn(table, sorted_vals, starts, lens)  # (C, W, nw)
+        return tuple(out[c] for c in range(out.shape[0]))
+
+    def _get_compiled(self, kind: str, chunk_size: int, n: int, rounds=None):
+        key = (
+            "sharded",
+            self.curve,
+            kind,
+            chunk_size,
+            n,
+            rounds,
+            self.num_bpr_threads,
+            self.mesh.devices.size,
+        )
+        if self.force_recompile or key not in self._compiled:
+            if kind == "plan":
+                fn = self._build_sharded_plan_fn(chunk_size)
+            else:
+                fn = self._build_sharded_main_fn(chunk_size, rounds)
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
