@@ -77,7 +77,9 @@ def main():
     def once():
         t0 = time.perf_counter()
         coords = engine.msm_device(point_words, scalar_words, chunk_size)
-        jax.block_until_ready(coords)
+        # hard fence via host readback: on the axon relay platform,
+        # block_until_ready can return at enqueue time
+        coords = tuple(np.asarray(c) for c in coords)
         t1 = time.perf_counter()
         result = engine._finalize(coords, chunk_size)
         t2 = time.perf_counter()

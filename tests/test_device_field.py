@@ -70,13 +70,13 @@ def test_bigint_add_sub_gt(curve, rng):
     diff, borrow = jop(curve, 'bigint_sub')(a, b)
     got_diff = device_to_ints(diff, params)
     radix = 1 << (params.num_words * params.word_size)
-    for x, y, d, br in zip(a_int, b_int, got_diff, np.asarray(borrow)):
+    for x, y, d, br in zip(a_int, b_int, got_diff, np.asarray(borrow)[0]):
         if x >= y:
             assert d == x - y and br == 0
         else:
             assert d == x - y + radix and br == 1
 
-    gt = np.asarray(jop(curve, 'bigint_gt')(a, b))
+    gt = np.asarray(jop(curve, 'bigint_gt')(a, b))[0]
     assert gt.tolist() == [x > y for x, y in zip(a_int, b_int)]
 
 

@@ -64,7 +64,7 @@ class CuzkMsmEngine:
         curve: CurveId,
         *,
         force_recompile: bool = False,
-        num_bpr_threads: int = 256,
+        num_bpr_threads: int = 1024,
         chunk_size: int | None = None,
     ):
         self.curve = curve

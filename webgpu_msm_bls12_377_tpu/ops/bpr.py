@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .curve import select
+from .pallas_kernels import fused_add, masked_add_and_double
 
 
 def reduce_buckets(
@@ -68,8 +69,8 @@ def reduce_buckets(
     def body(mg, i):
         m, g = mg
         bi = gather(buckets, base - 1 - i)
-        m = group.add(m, bi)
-        g = group.add(g, m)
+        m = fused_add(group, m, bi)
+        g = fused_add(group, g, m)
         return (m, g), None
 
     (m, g), _ = jax.lax.scan(
@@ -85,9 +86,8 @@ def reduce_buckets(
 
     def bit_body(rt, bits_row):
         result, temp = rt
-        added = group.add(result, temp)
-        result = select(bits_row, added, result)
-        return (result, group.double(temp)), None
+        result, temp = masked_add_and_double(group, result, temp, bits_row)
+        return (result, temp), None
 
     (g, _), _ = jax.lax.scan(bit_body, (g, m), bit_table)
 
@@ -112,6 +112,6 @@ def reduce_buckets(
                 for c in folded
             )
         )
-        folded = group.add(lo, hi)
+        folded = fused_add(group, lo, hi)
         width = half
     return folded  # num_windows lanes

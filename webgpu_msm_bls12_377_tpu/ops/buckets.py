@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from .curve import select
+from .pallas_kernels import masked_add_mixed
 
 
 class BucketPlan(NamedTuple):
@@ -126,12 +127,7 @@ def accumulate_buckets(
         pidx = v & IDX_MASK
         gathered = jnp.take(table, pidx, axis=2)  # (C, W, B)
         aff = tuple(gathered[c] for c in range(gathered.shape[0]))
-        neg = group.neg_affine(aff)
-        signed_aff = tuple(
-            jnp.where(sign_pos[None, :], pa, na) for pa, na in zip(aff, neg)
-        )
-        new = group.add_mixed(acc, signed_aff)
-        return select(valid, new, acc), None
+        return masked_add_mixed(group, acc, aff, sign_pos, valid), None
 
     acc, _ = jax.lax.scan(
         body, acc0, jnp.arange(num_rounds, dtype=jnp.int32)

@@ -64,8 +64,12 @@ class ExtEd(NamedTuple):
 
 
 def select(mask: jnp.ndarray, a, b):
-    """Lane-wise point select: a where mask else b (mask over batch axes)."""
-    m = mask[None, ...]
+    """Lane-wise point select: a where mask else b.
+
+    Accepts either a (batch,)-shaped mask or the module convention's
+    (1, batch) row mask (ops/field.py).
+    """
+    m = mask if mask.ndim == a[0].ndim else mask[None, ...]
     return type(a)(*(jnp.where(m, ca, cb) for ca, cb in zip(a, b)))
 
 

@@ -51,13 +51,16 @@ from ..reference.limbs import to_words_le
 U32 = jnp.uint32
 
 
-def _col(value: int, num_words: int, word_size: int) -> jnp.ndarray:
-    """A constant bigint as a (num_words, 1) uint32 column (broadcastable)."""
-    return jnp.asarray(
-        np.array(to_words_le(value, num_words, word_size), dtype=np.uint32)[
-            :, None
-        ]
-    )
+def _col(value: int, num_words: int, word_size: int) -> np.ndarray:
+    """A constant bigint as a (num_words, 1) uint32 column (broadcastable).
+
+    Kept as a *numpy* array: numpy operands trace as inline constants, which
+    jnp ops accept everywhere and — unlike captured jax Arrays — are legal
+    inside Pallas kernel bodies (ops/pallas_kernels.py).
+    """
+    return np.array(to_words_le(value, num_words, word_size), dtype=np.uint32)[
+        :, None
+    ]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,11 +75,15 @@ class FieldCtx:
     """
 
     params: MontParams
-    p_col: jnp.ndarray  # (W, 1) modulus limbs
-    r2_col: jnp.ndarray  # (W, 1) r^2 mod p — to_mont via one mont_mul
-    one_mont_col: jnp.ndarray  # (W, 1) r mod p — 1 in Montgomery form
-    one_col: jnp.ndarray  # (W, 1) plain 1 — from_mont via one mont_mul
-    mu_col: jnp.ndarray  # (W, 1) Barrett mu limbs
+    p_col: np.ndarray  # (W, 1) modulus limbs
+    r2_col: np.ndarray  # (W, 1) r^2 mod p — to_mont via one mont_mul
+    one_mont_col: np.ndarray  # (W, 1) r mod p — 1 in Montgomery form
+    one_col: np.ndarray  # (W, 1) plain 1 — from_mont via one mont_mul
+    mu_col: np.ndarray  # (W, 1) Barrett mu limbs
+    #: Unroll the Montgomery outer loop into straight-line code.  Needed
+    #: inside Pallas kernel bodies, where lax.scan's per-step xs slicing
+    #: (dynamic_slice) has no Mosaic lowering.
+    unroll_mont: bool = False
 
     @property
     def num_words(self) -> int:
@@ -93,7 +100,7 @@ class FieldCtx:
     def zeros(self, batch_shape: tuple[int, ...]) -> jnp.ndarray:
         return jnp.zeros((self.num_words, *batch_shape), dtype=U32)
 
-    def const(self, value: int) -> jnp.ndarray:
+    def const(self, value: int) -> np.ndarray:
         """Arbitrary constant as a broadcastable (W, 1) column."""
         return _col(value, self.num_words, self.word_size)
 
@@ -128,17 +135,32 @@ def _carry_prefix(
     """Exclusive carry/borrow prefix over the limb axis (log-depth).
 
     g[i]: limb i generates a carry; p[i]: limb i propagates an incoming
-    carry.  Returns (carry_in per limb, carry_out of the top limb).
+    carry.  Both uint32 0/1 planes: i1 (bool) concats/slices crash the
+    Mosaic TPU backend, so the whole prefix runs in integer 0/1 arithmetic.
+    Returns (carry_in per limb, carry_out of the top limb as a (1, batch)
+    row — the module-wide lane-mask convention).
     """
 
-    def comb(lo, hi):
-        g_lo, p_lo = lo
-        g_hi, p_hi = hi
-        return (g_hi | (p_hi & g_lo), p_hi & p_lo)
-
-    G, P = jax.lax.associative_scan(comb, (g, p), axis=0)
+    # Explicit Kogge-Stone inclusive scan (log2(W) shift-combine steps).
+    # Not lax.associative_scan: its interleaving lax.pad lowering is
+    # unsupported inside Pallas/Mosaic kernel bodies.
+    G, P = g, p
+    n = g.shape[0]
+    d = 1
+    while d < n:
+        pad_g = jnp.zeros_like(G[:d])  # identity: generates nothing,
+        pad_p = jnp.ones_like(P[:d])  # propagates everything
+        G_lo = jnp.concatenate([pad_g, G[:-d]], axis=0)
+        P_lo = jnp.concatenate([pad_p, P[:-d]], axis=0)
+        G = G | (P & G_lo)
+        P = P & P_lo
+        d *= 2
     carry_in = jnp.concatenate([jnp.zeros_like(G[:1]), G[:-1]], axis=0)
-    return carry_in, G[-1]
+    # Row-shaped (1, batch) carry-out, positively indexed: negative scalar
+    # indexing lowers to dynamic_slice and 1-D intermediates are hostile to
+    # the Mosaic TPU compiler, so every lane mask in this module is a
+    # (1, batch) row.
+    return carry_in, G[n - 1 : n]
 
 
 def resolve_carries(
@@ -157,10 +179,10 @@ def resolve_carries(
     while bits > w + 1:
         s = (s & mask) + _shift_up(s >> w)
         bits = max(w, bits - w) + 1
-    g = s >> w > 0  # s < 2^(w+1): carry is 0 or 1
-    p = (s & mask) == mask
+    g = s >> w  # s < 2^(w+1): carry is already 0 or 1
+    p = ((s & mask) == mask).astype(U32)
     carry_in, carry_out = _carry_prefix(g, p)
-    return (s + carry_in.astype(U32)) & mask, carry_out
+    return (s + carry_in) & mask, carry_out
 
 
 # ---------------------------------------------------------------------------
@@ -187,29 +209,29 @@ def bigint_sub(
     callers either know a >= b or use the borrow flag to select.
     """
     mask = ctx.mask
-    g = a < b
-    p = a == b
+    g = (a < b).astype(U32)
+    p = (a == b).astype(U32)
     borrow_in, borrow_out = _carry_prefix(g, p)
-    diff = (a - b - borrow_in.astype(U32)) & mask
-    return diff, borrow_out.astype(U32)
+    diff = (a - b - borrow_in) & mask
+    return diff, borrow_out
 
 
 def bigint_lt(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a < b lexicographically: the borrow-out of a - b. Bool batch."""
-    g = a < b
-    p = a == b
+    """a < b lexicographically: borrow-out of a - b, (1, batch) row."""
+    g = (a < b).astype(U32)
+    p = (a == b).astype(U32)
     _, borrow_out = _carry_prefix(g, p)
     return borrow_out
 
 
 def bigint_gt(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a > b lexicographically (bigint_gt:35). Bool batch."""
+    """a > b lexicographically (bigint_gt:35), (1, batch) row."""
     return bigint_lt(ctx, b, a)
 
 
 def bigint_is_zero(a: jnp.ndarray) -> jnp.ndarray:
-    """True where every limb is zero. Used for point-at-infinity tests."""
-    return jnp.all(a == 0, axis=0)
+    """True where every limb is zero, as a (1, batch) row mask."""
+    return jnp.all(a == 0, axis=0, keepdims=True)
 
 
 # ---------------------------------------------------------------------------
@@ -226,9 +248,9 @@ def cond_reduce(ctx: FieldCtx, s: jnp.ndarray) -> jnp.ndarray:
     """
     p = jnp.broadcast_to(ctx.p_col, s.shape)
     diff, borrow = bigint_sub(ctx, s, p)
-    not_eq = jnp.any(diff != 0, axis=0)
+    not_eq = jnp.any(diff != 0, axis=0, keepdims=True)
     take_diff = (borrow == 0) & not_eq  # s > p strictly
-    return jnp.where(take_diff[None, ...], diff, s)
+    return jnp.where(take_diff, diff, s)
 
 
 def field_reduce(ctx: FieldCtx, s: jnp.ndarray) -> jnp.ndarray:
@@ -240,7 +262,7 @@ def field_reduce(ctx: FieldCtx, s: jnp.ndarray) -> jnp.ndarray:
     """
     p = jnp.broadcast_to(ctx.p_col, s.shape)
     diff, borrow = bigint_sub(ctx, s, p)
-    return jnp.where((borrow == 0)[None, ...], diff, s)
+    return jnp.where(borrow == 0, diff, s)
 
 
 def field_add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -252,13 +274,13 @@ def field_sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a - b) mod p, branch-free (fr_sub, field.template.wgsl:18)."""
     diff, borrow = bigint_sub(ctx, a, b)
     wrapped = bigint_add(ctx, diff, jnp.broadcast_to(ctx.p_col, diff.shape))
-    return jnp.where((borrow == 1)[None, ...], wrapped, diff)
+    return jnp.where(borrow == 1, wrapped, diff)
 
 
 def field_neg(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     """(-a) mod p with the canonical-zero guard (bls12_377.ts:64-69)."""
     diff, _ = bigint_sub(ctx, jnp.broadcast_to(ctx.p_col, a.shape), a)
-    return jnp.where(bigint_is_zero(a)[None, ...], a, diff)
+    return jnp.where(bigint_is_zero(a), a, diff)
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +331,21 @@ def mont_mul(
         s2 = jnp.concatenate([s[1:] + prod[1:], zero_row], axis=0) + c_pad
         return s2, None
 
-    s, _ = jax.lax.scan(body, s0, xs, unroll=unroll)
+    if ctx.unroll_mont:
+        # Straight-line variant for Pallas kernel bodies: no lax.scan (its
+        # per-step xs slicing is dynamic_slice, unsupported by Mosaic) and
+        # strictly 2-D intermediates (row slices, not scalar indexing).
+        s = s0
+        for i in range(n):
+            xi = xs[i : i + 1]  # (1, batch)
+            t = s[0:1] + xi * yfull[0:1]
+            qi = (n0 * (t & mask)) & mask
+            c = (t + qi * pfull[0:1]) >> w
+            prod = xi * yfull + qi * pfull
+            c_pad = jnp.concatenate([c, zero_rest], axis=0)
+            s = jnp.concatenate([s[1:] + prod[1:], zero_row], axis=0) + c_pad
+    else:
+        s, _ = jax.lax.scan(body, s0, xs, unroll=unroll)
 
     # final carry sweep (mont_pro_product.template.wgsl:52-57)
     s, _ = resolve_carries(ctx, s, value_bits=32)
@@ -400,5 +436,5 @@ def barrett_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     r_wide, _ = bigint_sub(ctx, xy, lp)
 
     reduced, underflow = bigint_sub(ctx, r_wide, p_wide)
-    r_wide = jnp.where((underflow == 0)[None, ...], reduced, r_wide)
+    r_wide = jnp.where(underflow == 0, reduced, r_wide)
     return cond_reduce(ctx, r_wide[:n])

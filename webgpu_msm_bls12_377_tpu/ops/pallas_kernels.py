@@ -1,0 +1,234 @@
+"""Fused Pallas TPU kernels for the hot point-operation path.
+
+Why: a point add is ~13 Montgomery products, each a 30-step limb recurrence.
+Left to XLA, every scan step round-trips the (30, N) limb state through HBM,
+so the jnp path is HBM-bound ~15x above its compute time (measured 350 ms
+per 2^19-lane mixed add vs a ~20 ms compute bound on v5e).  These kernels
+fuse an entire point operation into one Pallas program: the limb state
+lives in VMEM for all ~40 field multiplies, and HBM traffic drops to the
+accumulator/addend reads plus the accumulator write — the same reason the
+reference fuses its whole SMVP bucket walk into one WGSL dispatch
+(smvp_bls12_377.template.wgsl:70-160).
+
+The kernel bodies *call the existing jnp group ops* (ops/curve.py) on
+VMEM-resident blocks, so the arithmetic is bit-identical to the XLA path
+and is covered by the same differential tests.  Field constants (modulus,
+Montgomery one, Edwards d) cannot be captured as jaxpr constants inside a
+Pallas body, so they ride along as tiny (W, 1) inputs and the group is
+rebuilt around them per program.
+
+All kernels tile the lane axis with BLOCK-wide programs; callers fall back
+to the jnp path when the batch is too small or not tile-aligned (cold
+paths: tree folds, tiny test sizes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .curve import EdwardsOps
+
+BLOCK = 512  # lanes per program: (30, 512) u32 blocks ≈ 60 KB VMEM each
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _supported(batch: int, interpret: bool = False) -> bool:
+    """Fused path: batch tile-aligned and (TPU backend or interpreter).
+    On CPU the jnp path runs instead (compiled Pallas has no CPU
+    lowering); interpret=True forces the kernel for semantics tests."""
+    if batch < BLOCK or batch % BLOCK != 0:
+        return False
+    return interpret or _on_tpu()
+
+
+def _const_arrays(group):
+    """Field constants shipped into the kernel as (W, 1) inputs."""
+    ctx = group.ctx
+    consts = [ctx.p_col, ctx.one_mont_col]
+    if isinstance(group, EdwardsOps):
+        consts.append(group.d_mont_col)
+    return consts
+
+
+def _rebuild_group(group_cls, ctx, const_vals):
+    """Group ops bound to kernel-resident constants (bypasses __init__)."""
+    kctx = dataclasses.replace(
+        ctx,
+        p_col=const_vals[0],
+        one_mont_col=const_vals[1],
+        unroll_mont=True,
+    )
+    g = object.__new__(group_cls)
+    g.ctx = kctx
+    if group_cls is EdwardsOps:
+        g.d_mont_col = const_vals[2]
+    return g
+
+
+def _run(make_body, group, arrays, num_outputs, interpret=False):
+    """Tile the common trailing lane axis and run the fused kernel.
+
+    arrays: lane-tiled inputs, each (rows_i, batch); outputs mirror the
+    first num_outputs inputs.  Constants are appended automatically.
+    """
+    consts = _const_arrays(group)
+    batch = arrays[0].shape[-1]
+    rows = [a.shape[0] for a in arrays]
+    out_rows = rows[:num_outputs]
+    n_consts = len(consts)
+    group_cls = type(group)
+    ctx = group.ctx
+
+    def kernel(*refs):
+        const_vals = [r[...] for r in refs[:n_consts]]
+        in_refs = refs[n_consts : n_consts + len(arrays)]
+        out_refs = refs[n_consts + len(arrays) :]
+        kgroup = _rebuild_group(group_cls, ctx, const_vals)
+        make_body(kgroup, in_refs, out_refs)
+
+    lane = lambda r: pl.BlockSpec(
+        (r, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    const_spec = lambda r: pl.BlockSpec(
+        (r, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // BLOCK,),
+        in_specs=[const_spec(c.shape[0]) for c in consts]
+        + [lane(r) for r in rows],
+        out_specs=tuple(lane(r) for r in out_rows),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((r, batch), jnp.uint32) for r in out_rows
+        ),
+        interpret=interpret,
+    )(*[jnp.asarray(c) for c in consts], *arrays)
+
+
+# ---------------------------------------------------------------------------
+# Kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _masked_add_mixed_body(n_coords, n_aff):
+    def body(group, in_refs, out_refs):
+        acc = group.Point(*(r[...] for r in in_refs[:n_coords]))
+        aff = tuple(r[...] for r in in_refs[n_coords : n_coords + n_aff])
+        sign_pos = in_refs[n_coords + n_aff][...] != 0  # (1, BLOCK)
+        valid = in_refs[n_coords + n_aff + 1][...] != 0
+        neg = group.neg_affine(aff)
+        signed_aff = tuple(
+            jnp.where(sign_pos, pa, na) for pa, na in zip(aff, neg)
+        )
+        new = group.add_mixed(acc, signed_aff)
+        for o, n, a in zip(out_refs, new, acc):
+            o[...] = jnp.where(valid, n, a)
+
+    return body
+
+
+def _add_body(n_coords):
+    def body(group, in_refs, out_refs):
+        a = group.Point(*(r[...] for r in in_refs[:n_coords]))
+        b = group.Point(*(r[...] for r in in_refs[n_coords:]))
+        out = group.add(a, b)
+        for o, v in zip(out_refs, out):
+            o[...] = v
+
+    return body
+
+
+def _masked_add_double_body(n_coords):
+    def body(group, in_refs, out_refs):
+        result = group.Point(*(r[...] for r in in_refs[:n_coords]))
+        temp = group.Point(*(r[...] for r in in_refs[n_coords : 2 * n_coords]))
+        bit = in_refs[2 * n_coords][...] != 0
+        added = group.add(result, temp)
+        new_res = tuple(
+            jnp.where(bit, a, r) for a, r in zip(added, result)
+        )
+        new_tmp = tuple(group.double(temp))
+        for o, v in zip(out_refs, new_res + new_tmp):
+            o[...] = v
+
+    return body
+
+
+# ---------------------------------------------------------------------------
+# Public entry points with jnp fallback
+# ---------------------------------------------------------------------------
+
+
+def masked_add_mixed(group, acc, aff, sign_pos, valid, interpret=False):
+    """select(valid, add_mixed(acc, ±aff), acc), fused.
+
+    sign_pos / valid: (batch,) bool lanes.
+    """
+    batch = acc[0].shape[-1]
+    if not _supported(batch, interpret):
+        from .curve import select
+
+        neg = group.neg_affine(aff)
+        signed = tuple(
+            jnp.where(sign_pos[None, :], pa, na) for pa, na in zip(aff, neg)
+        )
+        return select(valid, group.add_mixed(acc, signed), acc)
+    arrays = (
+        *acc,
+        *aff,
+        sign_pos.astype(jnp.uint32)[None, :],
+        valid.astype(jnp.uint32)[None, :],
+    )
+    out = _run(
+        _masked_add_mixed_body(len(acc), len(aff)),
+        group,
+        arrays,
+        num_outputs=len(acc),
+        interpret=interpret,
+    )
+    return type(acc)(*out)
+
+
+def fused_add(group, a, b, interpret=False):
+    """Full projective/extended add, fused into one kernel."""
+    batch = a[0].shape[-1]
+    if not _supported(batch, interpret):
+        return group.add(a, b)
+    out = _run(
+        _add_body(len(a)),
+        group,
+        (*a, *b),
+        num_outputs=len(a),
+        interpret=interpret,
+    )
+    return type(a)(*out)
+
+
+def masked_add_and_double(group, result, temp, bit, interpret=False):
+    """One double-and-add step (BPR stage 2), fused."""
+    batch = result[0].shape[-1]
+    if not _supported(batch, interpret):
+        from .curve import select
+
+        added = group.add(result, temp)
+        return select(bit, added, result), group.double(temp)
+    arrays = (*result, *temp, bit.astype(jnp.uint32)[None, :])
+    out = _run(
+        _masked_add_double_body(len(result)),
+        group,
+        arrays,
+        num_outputs=2 * len(result),
+        interpret=interpret,
+    )
+    n = len(result)
+    return type(result)(*out[:n]), type(temp)(*out[n:])
