@@ -135,13 +135,13 @@ def device_buckets(case):
             ]
         )
         digits = ddec.decompose_scalars_signed(sw, CHUNK, NUM_WINDOWS)
-        return table, dbuck.build_bucket_plan(digits, CHUNK)
+        return dbuck.table_to_rows(table), dbuck.build_bucket_plan(digits, CHUNK)
 
-    table, plan = plan_fn(xw, yw, sw)
+    table_rows, plan = plan_fn(xw, yw, sw)
     rounds = dbuck.round_class(int(np.asarray(plan.lens).max()))
     acc = jax.jit(
         lambda t, p: dbuck.accumulate_buckets(ops, t, p, rounds)
-    )(table, plan)
+    )(table_rows, plan)
     return acc
 
 

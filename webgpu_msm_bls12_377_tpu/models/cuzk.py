@@ -27,7 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.bpr import reduce_buckets
-from ..ops.buckets import accumulate_buckets, build_bucket_plan, round_class
+from ..ops.buckets import (
+    accumulate_buckets,
+    build_bucket_plan,
+    round_class,
+    table_to_rows,
+    window_slice_indices,
+)
 from ..ops.convert import (
     ints_to_words,
     points_buffer_to_words,
@@ -107,37 +113,73 @@ class CuzkMsmEngine:
                 scalar_words, chunk_size, num_windows
             )
             plan = build_bucket_plan(digits, chunk_size)
-            return table, plan
+            return table_to_rows(table), plan
 
         return plan_fn
 
-    def _build_main_fn(self, chunk_size: int, num_rounds: int):
+    def _build_main_fn(
+        self, chunk_size: int, num_rounds: int, windows: tuple[int, ...]
+    ):
+        """SMVP + BPR + Montgomery exit for one window group.
+
+        Windows are grouped by their bucket-length round class: the top
+        scalar window's digits span only scalar_top_bits values (the
+        253-bit scalar leaves 13 bits in a 16-bit window), giving it ~8x
+        denser buckets than the others; one static round count for all 16
+        windows would therefore double everyone else's masked rounds.
+        """
         ctx = self.ctx
         group = self.group
-        num_windows = SCALAR_BITS // chunk_size
         bpr_threads = self.num_bpr_threads
+        h = 1 << (chunk_size - 1)
+        idx_const = window_slice_indices(windows, h)
 
-        def main_fn(table, plan):
-            buckets = accumulate_buckets(group, table, plan, num_rounds)
+        def main_fn(table_rows, plan):
+            plan_g = type(plan)(
+                sorted_vals=plan.sorted_vals,
+                starts=jnp.take(plan.starts, idx_const),
+                lens=jnp.take(plan.lens, idx_const),
+            )
+            buckets = accumulate_buckets(group, table_rows, plan_g, num_rounds)
             wsums = reduce_buckets(
-                group, buckets, num_windows, chunk_size, bpr_threads
+                group, buckets, len(windows), chunk_size, bpr_threads
             )
             # Montgomery exit on device (submission.ts:290-304)
             return tuple(from_mont(ctx, c) for c in wsums)
 
         return main_fn
 
-    def _get_compiled(self, kind: str, chunk_size: int, n: int, rounds=None):
-        key = (self.curve, kind, chunk_size, n, rounds, self.num_bpr_threads)
+    def _get_compiled(
+        self, kind: str, chunk_size: int, n: int, rounds=None, windows=None
+    ):
+        key = (
+            self.curve,
+            kind,
+            chunk_size,
+            n,
+            rounds,
+            windows,
+            self.num_bpr_threads,
+        )
         if self.force_recompile or key not in self._compiled:
             # a fresh jit wrapper defeats jax's executable cache, mirroring
             # the reference's injected-dead-code recompile trick
             if kind == "plan":
                 fn = self._build_plan_fn(chunk_size)
             else:
-                fn = self._build_main_fn(chunk_size, rounds)
+                fn = self._build_main_fn(chunk_size, rounds, windows)
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
+
+    def _window_groups(self, chunk_size: int, lens) -> dict[int, tuple[int, ...]]:
+        """Partition windows by SMVP round class from per-window max lens."""
+        num_windows = SCALAR_BITS // chunk_size
+        h = 1 << (chunk_size - 1)
+        per_window_max = np.asarray(lens).reshape(num_windows, h).max(axis=1)
+        groups: dict[int, list[int]] = {}
+        for w, m in enumerate(per_window_max):
+            groups.setdefault(round_class(int(m)), []).append(w)
+        return {cls: tuple(ws) for cls, ws in groups.items()}
 
     # -- input normalization (reference wire formats) -----------------------
 
@@ -191,15 +233,29 @@ class CuzkMsmEngine:
         """Run the jitted pipeline; returns per-window limb coords.
 
         Exposed separately so benchmarks can time the device program alone.
+        Per-window coords are assembled host-side in window order (the
+        window groups run as separate programs).
         """
         n = point_words.shape[-1]
+        num_windows = SCALAR_BITS // chunk_size
         plan_fn = self._get_compiled("plan", chunk_size, n)
-        table, plan = plan_fn(
+        table_rows, plan = plan_fn(
             jnp.asarray(point_words), jnp.asarray(scalar_words)
         )
-        rounds = round_class(int(jnp.max(plan.lens)))
-        main_fn = self._get_compiled("main", chunk_size, n, rounds)
-        return main_fn(table, plan)
+        groups = self._window_groups(chunk_size, plan.lens)
+        num_coords = len(self.group.zero((1,)))
+        out = [
+            np.empty((self.ctx.num_words, num_windows), dtype=np.uint32)
+            for _ in range(num_coords)
+        ]
+        for rounds, windows in sorted(groups.items()):
+            main_fn = self._get_compiled(
+                "main", chunk_size, n, rounds, windows
+            )
+            coords = main_fn(table_rows, plan)
+            for c, arr in enumerate(coords):
+                out[c][:, list(windows)] = np.asarray(arr)
+        return tuple(out)
 
     def compute_msm(self, points: Any, scalars: Any) -> dict[str, int]:
         point_words = self._prepare_points(points)

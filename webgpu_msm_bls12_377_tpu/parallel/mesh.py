@@ -41,6 +41,8 @@ from ..ops.buckets import (
     accumulate_buckets,
     build_bucket_plan,
     round_class,
+    table_to_rows,
+    window_slice_indices,
 )
 from ..ops.convert import u32_words_to_limbs_mont
 from ..ops.decompose import decompose_scalars_signed
@@ -81,11 +83,10 @@ class ShardedMsmEngine(CuzkMsmEngine):
             mesh=mesh,
             in_specs=(P(None, None, AXIS), P(None, AXIS)),
             out_specs=(
-                P(None, None, AXIS),  # table: (C, W, n) sharded on points
+                P(AXIS, None),  # table rows: (n, C*W) sharded on points
                 P(AXIS),  # sorted_vals: per-chip slabs
                 P(AXIS, None),  # starts: (D, num_buckets)
                 P(AXIS, None),  # lens: (D, num_buckets)
-                P(AXIS),  # per-chip max bucket length: (D,)
             ),
             check_rep=False,
         )
@@ -101,28 +102,30 @@ class ShardedMsmEngine(CuzkMsmEngine):
             )
             plan = build_bucket_plan(digits, chunk_size)
             return (
-                table,
+                table_to_rows(table),
                 plan.sorted_vals,
                 plan.starts[None],
                 plan.lens[None],
-                jnp.max(plan.lens)[None],
             )
 
         return plan_fn
 
-    def _build_sharded_main_fn(self, chunk_size: int, num_rounds: int):
+    def _build_sharded_main_fn(
+        self, chunk_size: int, num_rounds: int, windows: tuple[int, ...]
+    ):
         ctx = self.ctx
         group = self.group
         mesh = self.mesh
-        num_windows = SCALAR_BITS // chunk_size
         bpr_threads = self.num_bpr_threads
         n_dev = mesh.devices.size
+        h = 1 << (chunk_size - 1)
+        idx_const = window_slice_indices(windows, h)
 
         @partial(
             shard_map,
             mesh=mesh,
             in_specs=(
-                P(None, None, AXIS),
+                P(AXIS, None),
                 P(AXIS),
                 P(AXIS, None),
                 P(AXIS, None),
@@ -130,18 +133,20 @@ class ShardedMsmEngine(CuzkMsmEngine):
             out_specs=P(),
             check_rep=False,
         )
-        def main_fn(table, sorted_vals, starts, lens):
+        def main_fn(table_rows, sorted_vals, starts, lens):
             plan = BucketPlan(
-                sorted_vals=sorted_vals, starts=starts[0], lens=lens[0]
+                sorted_vals=sorted_vals,
+                starts=jnp.take(starts[0], idx_const),
+                lens=jnp.take(lens[0], idx_const),
             )
-            buckets = accumulate_buckets(group, table, plan, num_rounds)
+            buckets = accumulate_buckets(group, table_rows, plan, num_rounds)
             wsums = reduce_buckets(
-                group, buckets, num_windows, chunk_size, bpr_threads
+                group, buckets, len(windows), chunk_size, bpr_threads
             )
-            stacked = jnp.stack(list(wsums))  # (C, W, num_windows)
+            stacked = jnp.stack(list(wsums))  # (C, W, len(windows))
             # per-window partial sums ride ICI once; group addition is not
-            # psum-able, so: all_gather + log/linear on-device add tree
-            gathered = jax.lax.all_gather(stacked, AXIS)  # (D, C, W, nw)
+            # psum-able, so: all_gather + on-device add tree
+            gathered = jax.lax.all_gather(stacked, AXIS)  # (D, C, W, g)
             acc = type(wsums)(*(gathered[0, c] for c in range(len(wsums))))
             for d in range(1, n_dev):
                 other = type(wsums)(
@@ -155,6 +160,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
     def msm_device(self, point_words, scalar_words, chunk_size: int):
         n = point_words.shape[-1]
         d = self.mesh.devices.size
+        num_windows = SCALAR_BITS // chunk_size
         if n % d != 0:
             pad = d - n % d
             point_words = np.concatenate(
@@ -173,13 +179,31 @@ class ShardedMsmEngine(CuzkMsmEngine):
         )
         n_pad = point_words.shape[-1]
         plan_fn = self._get_compiled("plan", chunk_size, n_pad)
-        table, sorted_vals, starts, lens, maxes = plan_fn(pw, sw)
-        rounds = round_class(int(jnp.max(maxes)))
-        main_fn = self._get_compiled("main", chunk_size, n_pad, rounds)
-        out = main_fn(table, sorted_vals, starts, lens)  # (C, W, nw)
-        return tuple(out[c] for c in range(out.shape[0]))
+        table_rows, sorted_vals, starts, lens = plan_fn(pw, sw)
+        # window groups from the per-window max over ALL chips
+        h = 1 << (chunk_size - 1)
+        global_max = np.asarray(lens).reshape(d, num_windows, h).max(axis=(0, 2))
+        groups: dict[int, list[int]] = {}
+        for w, m in enumerate(global_max):
+            groups.setdefault(round_class(int(m)), []).append(w)
+        num_coords = len(self.group.zero((1,)))
+        out = [
+            np.empty((self.ctx.num_words, num_windows), dtype=np.uint32)
+            for _ in range(num_coords)
+        ]
+        for rounds, ws in sorted(groups.items()):
+            ws = tuple(ws)
+            main_fn = self._get_compiled(
+                "main", chunk_size, n_pad, rounds, ws
+            )
+            coords = main_fn(table_rows, sorted_vals, starts, lens)
+            for c in range(num_coords):
+                out[c][:, list(ws)] = np.asarray(coords[c])
+        return tuple(out)
 
-    def _get_compiled(self, kind: str, chunk_size: int, n: int, rounds=None):
+    def _get_compiled(
+        self, kind: str, chunk_size: int, n: int, rounds=None, windows=None
+    ):
         key = (
             "sharded",
             self.curve,
@@ -187,6 +211,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
             chunk_size,
             n,
             rounds,
+            windows,
             self.num_bpr_threads,
             self.mesh.devices.size,
         )
@@ -194,6 +219,6 @@ class ShardedMsmEngine(CuzkMsmEngine):
             if kind == "plan":
                 fn = self._build_sharded_plan_fn(chunk_size)
             else:
-                fn = self._build_sharded_main_fn(chunk_size, rounds)
+                fn = self._build_sharded_main_fn(chunk_size, rounds, windows)
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
