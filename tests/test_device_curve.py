@@ -86,32 +86,35 @@ def assert_proj_equal(got, want):
 
 
 class TestG1:
-    def test_add(self, rng):
+    def test_add_rcb_complete(self, rng):
+        """Production complete add (RCB Alg. 7) limb-exact vs its oracle,
+        including identity / doubling / inverse lanes (no exceptions)."""
         ops = dcurve.G1Ops()
         n = 8
         p1 = rand_g1(rng, n)
         p2 = rand_g1(rng, n)
-        # edge lanes: zero+P, P+zero, P+(-P), P+P (unified doubling path)
         p1 += [ocurve.G1_ZERO, p1[0], p1[1], p1[2]]
         p2 += [p2[0], ocurve.G1_ZERO, ocurve.g1_neg(p1[1]), p1[2]]
         got = g1_device_to_oracle(
             ops, jmethod('g1', 'add')(g1_batch_to_device(ops, p1), g1_batch_to_device(ops, p2))
         )
-        want = [ocurve.g1_add(a, b) for a, b in zip(p1, p2)]
-        # P + (-P) hits the unified formula's exceptional case: both sides
-        # must agree it is the point at infinity (z == 0), coords need not
-        # match the oracle's early-return representation.
-        for i, (g, w) in enumerate(zip(got, want)):
+        want = [ocurve.g1_add_rcb(a, b) for a, b in zip(p1, p2)]
+        assert_proj_equal(got, want)
+        # and as group elements vs the bj oracle
+        for i, (g, w) in enumerate(
+            zip(got, [ocurve.g1_add(a, b) for a, b in zip(p1, p2)])
+        ):
             if w.is_zero():
                 assert g.is_zero(), f"elem {i}"
             else:
-                assert (g.x, g.y, g.z) == (w.x, w.y, w.z), f"elem {i}"
+                assert ocurve.g1_eq(g, w), f"elem {i}"
 
-    def test_add_mixed_matches_full_add(self, rng):
+    def test_add_mixed_rcb(self, rng):
         ops = dcurve.G1Ops()
         n = 8
-        acc = rand_g1(rng, n) + [ocurve.G1_ZERO]
+        acc = rand_g1(rng, n) + [ocurve.G1_ZERO, rand_g1(rng, 1)[0]]
         addend = rand_g1(rng, n + 1)
+        addend.append(acc[-1])  # doubling lane
         aff = [ocurve.g1_to_affine(p) for p in addend]
         params = ops.ctx.params
         to_m = lambda v: (v * params.r) % params.p
@@ -123,16 +126,32 @@ class TestG1:
             ops, jmethod('g1', 'add_mixed')(g1_batch_to_device(ops, acc), aff_dev)
         )
         want = [
-            ocurve.g1_add(a, ocurve.g1_from_affine(x, y))
-            for a, (x, y) in zip(acc, aff)
+            ocurve.g1_add_mixed_rcb(a, xy) for a, xy in zip(acc, aff)
         ]
         assert_proj_equal(got, want)
 
-    def test_double(self, rng):
+    def test_double_rcb(self, rng):
         ops = dcurve.G1Ops()
         pts = rand_g1(rng, 8) + [ocurve.G1_ZERO]
         got = g1_device_to_oracle(ops, jmethod('g1', 'double')(g1_batch_to_device(ops, pts)))
-        want = [ocurve.g1_double(p) for p in pts]
+        want = [ocurve.g1_double_rcb(p) for p in pts]
+        assert_proj_equal(got, want)
+
+    def test_legacy_bj_formulas(self, rng):
+        """Reference-parity unified formulas (add-2002-bj / dbl-2007-bl)."""
+        ops = dcurve.G1Ops()
+        n = 6
+        p1 = rand_g1(rng, n) + [ocurve.G1_ZERO, rand_g1(rng, 1)[0]]
+        p2 = rand_g1(rng, n) + [rand_g1(rng, 1)[0], ocurve.G1_ZERO]
+        got = g1_device_to_oracle(
+            ops, jmethod('g1', 'add_bj')(g1_batch_to_device(ops, p1), g1_batch_to_device(ops, p2))
+        )
+        want = [ocurve.g1_add(a, b) for a, b in zip(p1, p2)]
+        assert_proj_equal(got, want)
+        got = g1_device_to_oracle(
+            ops, jmethod('g1', 'double_bl')(g1_batch_to_device(ops, p1))
+        )
+        want = [ocurve.g1_double(p) for p in p1]
         for i, (g, w) in enumerate(zip(got, want)):
             if w.is_zero():
                 assert g.is_zero(), f"elem {i}"

@@ -98,7 +98,7 @@ def build_bucket_plan(
     return BucketPlan(sorted_vals=sorted_vals, starts=starts, lens=lens)
 
 
-def round_class(max_len: int, step: int = 32) -> int:
+def round_class(max_len: int, step: int = 16) -> int:
     """Static SMVP round count: max bucket length rounded up to a multiple
     of ``step``, so only a handful of programs are ever compiled while the
     masked-round waste stays < step/max_len.  (Used per *window group*: the

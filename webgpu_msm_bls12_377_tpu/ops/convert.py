@@ -46,9 +46,15 @@ def limbs_from_u32_words(
 def u32_words_to_limbs_mont(
     ctx: FieldCtx, words: jnp.ndarray
 ) -> jnp.ndarray:
-    """Wire words -> Montgomery-form limb batch (the stage-1a kernel)."""
+    """Wire words -> Montgomery-form limb batch (the stage-1a kernel).
+
+    The Montgomery entry (x * r^2 under REDC) runs as a fused Pallas
+    kernel on TPU for table-sized batches.
+    """
+    from .pallas_kernels import mont_mul_const
+
     limbs = limbs_from_u32_words(words, ctx.num_words, ctx.word_size)
-    return to_mont(ctx, limbs)
+    return mont_mul_const(ctx, limbs, ctx.r2_col)
 
 
 def edwards_extended_table(

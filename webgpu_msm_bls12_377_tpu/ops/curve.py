@@ -1,31 +1,32 @@
 """Branch-free batched elliptic-curve kernels in the Montgomery domain.
 
-TPU-native equivalents of the reference's device curve code:
+TPU-native curve layer covering the reference's device curve code
+(src/submission/implementation/wgsl/curve/ec_bls12_377.template.wgsl:13-80
+and src/reference/webgpu/wgsl/Curve.ts:38-117):
 
-- BLS12-377 G1 projective short-Weierstrass ops — unified add "add-2002-bj"
-  (16M) and dbl-2007-bl (10M):
-  src/submission/implementation/wgsl/curve/ec_bls12_377.template.wgsl:13-80
-- Twisted Edwards extended ops — complete unified add/dbl-2008-hwcd, the
-  formulas behind the reference's FieldMath/@noble oracle
-  (src/reference/utils/FieldMath.ts:104-137) and its Edwards WGSL library
-  (src/reference/webgpu/wgsl/Curve.ts:38-117).
+- BLS12-377 G1 production path: **complete** projective short-Weierstrass
+  formulas (Renes-Costello-Batina 2016, Algorithms 7-9 with a=0, b3=3b=3):
+  add 12M, mixed add 11M, double 8M, exception-free on prime-order inputs
+  — identity, doubling and inverse lanes all run the same straight-line
+  code, so the SIMD kernels need no selects at all.  The reference's
+  unified add-2002-bj (16M) / dbl-2007-bl are kept as `add_bj` /
+  `add_mixed_bj` / `double_bl` for differential parity.
+- Twisted Edwards extended ops — complete unified add/dbl-2008-hwcd
+  (a = -1, d non-square), the formulas behind the reference's
+  FieldMath/@noble oracle (src/reference/utils/FieldMath.ts:104-137).
 
 Design notes:
 
 * A batch of points is a NamedTuple of (num_words, *batch) uint32 coord
   arrays (see ops/field.py for the limb layout).  NamedTuples are pytrees,
-  so points flow through jit / lax.fori_loop / shard_map directly.
+  so points flow through jit / lax.scan / shard_map directly.
 * The WGSL originals take early-return branches on the point at infinity
-  (ec_bls12_377.template.wgsl:17-22); branches don't vectorize on the VPU,
-  so infinity handling is a lane-wise select (jnp.where) computed alongside
-  the main formula — the standard SIMD formulation.
+  (ec_bls12_377.template.wgsl:17-22); branches don't vectorize on a VPU.
+  Complete formulas beat per-lane selects twice over: fewer multiplies
+  AND no select traffic.
 * Mixed (projective + affine) variants exploit z2 == 1: in Montgomery form
-  "1" is r, and REDC(u * r) == u exactly, so dropping the three z2 products
-  changes nothing bit-wise while saving ~20% of the SMVP field muls.  The
-  reference instead synthesizes z = r inside its SMVP shader
-  (smvp_bls12_377.template.wgsl:70-160) and pays the full 16M add.
-* The Edwards formulas are complete (a = -1, d non-square): no infinity
-  selects at all — every lane runs the same straight-line code.
+  "1" is r, and REDC(u * r) == u exactly, so the z2 products vanish
+  bit-exactly.
 """
 
 from __future__ import annotations
@@ -116,6 +117,77 @@ class G1Ops:
         x, y = aff
         return (x, field_neg(self.ctx, y))
 
+    def _triple(self, v: jnp.ndarray) -> jnp.ndarray:
+        """3*v (the b3 = 3b constant of RCB, b = 1): two field adds."""
+        ctx = self.ctx
+        return field_add(ctx, field_add(ctx, v, v), v)
+
+    def add(self, p1: ProjG1, p2: ProjG1) -> ProjG1:
+        """Complete projective addition (RCB 2016 Alg. 7, a=0, b3=3): 12M.
+
+        Exception-free for prime-order inputs — identity, doubling and
+        inverse lanes all take the same straight-line code, so no lane
+        selects are needed (mirrors reference/curve.py:g1_add_rcb).
+        """
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b)
+        fa = lambda a, b: field_add(ctx, a, b)
+        fs = lambda a, b: field_sub(ctx, a, b)
+        X1, Y1, Z1 = p1
+        X2, Y2, Z2 = p2
+        t0 = mm(X1, X2); t1 = mm(Y1, Y2); t2 = mm(Z1, Z2)
+        t3 = fa(X1, Y1); t4 = fa(X2, Y2); t3 = mm(t3, t4)
+        t4 = fa(t0, t1); t3 = fs(t3, t4); t4 = fa(Y1, Z1)
+        X3 = fa(Y2, Z2); t4 = mm(t4, X3); X3 = fa(t1, t2)
+        t4 = fs(t4, X3); X3 = fa(X1, Z1); Y3 = fa(X2, Z2)
+        X3 = mm(X3, Y3); Y3 = fa(t0, t2); Y3 = fs(X3, Y3)
+        X3 = fa(t0, t0); t0 = fa(X3, t0); t2 = self._triple(t2)
+        Z3 = fa(t1, t2); t1 = fs(t1, t2); Y3 = self._triple(Y3)
+        X3 = mm(t4, Y3); t2 = mm(t3, t1); X3 = fs(t2, X3)
+        Y3 = mm(Y3, t0); t1 = mm(t1, Z3); Y3 = fa(t1, Y3)
+        t0 = mm(t0, t3); Z3 = mm(Z3, t4); Z3 = fa(Z3, t0)
+        return ProjG1(x=X3, y=Y3, z=Z3)
+
+    def add_mixed(self, p1: ProjG1, aff) -> ProjG1:
+        """Complete mixed addition (RCB 2016 Alg. 8, a=0, b3=3): 11M.
+
+        The affine addend must not be the identity (bucket addends are
+        table points); the accumulator may be anything including zero.
+        """
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b)
+        fa = lambda a, b: field_add(ctx, a, b)
+        fs = lambda a, b: field_sub(ctx, a, b)
+        X1, Y1, Z1 = p1
+        X2, Y2 = aff
+        t0 = mm(X1, X2); t1 = mm(Y1, Y2); t3 = fa(X2, Y2)
+        t4 = fa(X1, Y1); t3 = mm(t3, t4); t4 = fa(t0, t1)
+        t3 = fs(t3, t4); t4 = mm(Y2, Z1); t4 = fa(t4, Y1)
+        Y3 = mm(X2, Z1); Y3 = fa(Y3, X1); X3 = fa(t0, t0)
+        t0 = fa(X3, t0); t2 = self._triple(Z1); Z3 = fa(t1, t2)
+        t1 = fs(t1, t2); Y3 = self._triple(Y3); X3 = mm(t4, Y3)
+        t2 = mm(t3, t1); X3 = fs(t2, X3); Y3 = mm(Y3, t0)
+        t1 = mm(t1, Z3); Y3 = fa(t1, Y3); t0 = mm(t0, t3)
+        Z3 = mm(Z3, t4); Z3 = fa(Z3, t0)
+        return ProjG1(x=X3, y=Y3, z=Z3)
+
+    def double(self, p: ProjG1) -> ProjG1:
+        """Complete doubling (RCB 2016 Alg. 9, a=0, b3=3): 8M."""
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b)
+        fa = lambda a, b: field_add(ctx, a, b)
+        fs = lambda a, b: field_sub(ctx, a, b)
+        X, Y, Z = p
+        t0 = mm(Y, Y); Z3 = fa(t0, t0); Z3 = fa(Z3, Z3)
+        Z3 = fa(Z3, Z3); t1 = mm(Y, Z); t2 = mm(Z, Z)
+        t2 = self._triple(t2); X3 = mm(t2, Z3); Y3 = fa(t0, t2)
+        Z3 = mm(t1, Z3); t1 = fa(t2, t2); t2 = fa(t1, t2)
+        t0 = fs(t0, t2); Y3 = mm(t0, Y3); Y3 = fa(X3, Y3)
+        t1 = mm(X, Y); X3 = mm(t0, t1); X3 = fa(X3, X3)
+        return ProjG1(x=X3, y=Y3, z=Z3)
+
+    # -- legacy unified formulas (reference parity: add-2002-bj/dbl-2007-bl)
+
     def _add_core(self, p1: ProjG1, u1, s1, zz, p2: ProjG1) -> ProjG1:
         """Shared tail of add/add_mixed (ec_bls12_377.template.wgsl:24-52)."""
         ctx = self.ctx
@@ -144,8 +216,11 @@ class G1Ops:
         z3 = field_add(ctx, fff, fff)
         return ProjG1(x=x3, y=y3, z=z3)
 
-    def add(self, p1: ProjG1, p2: ProjG1) -> ProjG1:
-        """Unified projective add, branch-free infinity handling (16M)."""
+    def add_bj(self, p1: ProjG1, p2: ProjG1) -> ProjG1:
+        """Unified projective add-2002-bj with infinity selects (16M) —
+        the reference's formula (ec_bls12_377.template.wgsl:13-52), kept
+        for differential parity tests; the RCB complete add above is the
+        production path."""
         ctx = self.ctx
         mm = lambda a, b: mont_mul(ctx, a, b)
         u1 = mm(p1.x, p2.z)
@@ -155,14 +230,14 @@ class G1Ops:
         res = select(self.is_zero(p2), p1, res)
         return select(self.is_zero(p1), p2, res)
 
-    def add_mixed(self, p1: ProjG1, aff) -> ProjG1:
-        """p1 + (x2, y2, z2=1): 13M. Bit-identical to add with z2 = one."""
+    def add_mixed_bj(self, p1: ProjG1, aff) -> ProjG1:
+        """p1 + (x2, y2, z2=1): 13M. Bit-identical to add_bj with z2=one."""
         x2, y2 = aff
         p2 = self.from_affine((x2, y2))
         res = self._add_core(p1, p1.x, p1.y, p1.z, p2)
         return select(self.is_zero(p1), p2, res)
 
-    def double(self, p1: ProjG1) -> ProjG1:
+    def double_bl(self, p1: ProjG1) -> ProjG1:
         """dbl-2007-bl with a = 0 (ec_bls12_377.template.wgsl:55-80).
 
         Infinity maps to z3 = 0 by itself (s = 2*y*z = 0), no select needed.

@@ -169,6 +169,40 @@ def _masked_add_double_body(n_coords):
 # ---------------------------------------------------------------------------
 
 
+def mont_mul_const(ctx, a, y_col, interpret=False):
+    """Montgomery product with a constant (W, 1) multiplicand, fused.
+
+    Used by the stage-1 conversion (to_mont via r^2) where the batch is the
+    full point table — one VMEM-resident kernel instead of a 30-step XLA
+    scan through HBM.
+    """
+    from .field import mont_mul
+
+    batch = a.shape[-1]
+    if not _supported(batch, interpret):
+        return mont_mul(ctx, a, jnp.asarray(y_col))
+
+    w = ctx.num_words
+
+    def kernel(p_ref, y_ref, a_ref, o_ref):
+        kctx = dataclasses.replace(
+            ctx, p_col=p_ref[...], unroll_mont=True
+        )
+        av = a_ref[...]
+        o_ref[...] = mont_mul(kctx, av, jnp.broadcast_to(y_ref[...], av.shape))
+
+    lane = pl.BlockSpec((w, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    const = pl.BlockSpec((w, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // BLOCK,),
+        in_specs=[const, const, lane],
+        out_specs=lane,
+        out_shape=jax.ShapeDtypeStruct((w, batch), jnp.uint32),
+        interpret=interpret,
+    )(jnp.asarray(ctx.p_col), jnp.asarray(y_col), a)
+
+
 def masked_add_mixed(group, acc, aff, sign_pos, valid, interpret=False):
     """select(valid, add_mixed(acc, ±aff), acc), fused.
 

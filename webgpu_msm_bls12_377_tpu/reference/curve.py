@@ -136,6 +136,67 @@ def g1_double(p1: ProjectivePoint) -> ProjectivePoint:
     return ProjectivePoint(x3, y3, sss)
 
 
+def g1_add_rcb(p1: ProjectivePoint, p2: ProjectivePoint) -> ProjectivePoint:
+    """Complete projective addition (Renes-Costello-Batina 2016, Alg. 7,
+    a = 0, b3 = 3b = 3).
+
+    Exception-free on prime-order inputs: identity, doubling and inverse
+    cases all flow through the same straight-line code — the formula family
+    the TPU kernels use (no lane selects needed).  12M + 2 small-constant
+    muls.
+    """
+    X1, Y1, Z1 = p1.x % P, p1.y % P, p1.z % P
+    X2, Y2, Z2 = p2.x % P, p2.y % P, p2.z % P
+    b3 = 3
+    t0 = X1 * X2 % P; t1 = Y1 * Y2 % P; t2 = Z1 * Z2 % P
+    t3 = (X1 + Y1) % P; t4 = (X2 + Y2) % P; t3 = t3 * t4 % P
+    t4 = (t0 + t1) % P; t3 = (t3 - t4) % P; t4 = (Y1 + Z1) % P
+    X3 = (Y2 + Z2) % P; t4 = t4 * X3 % P; X3 = (t1 + t2) % P
+    t4 = (t4 - X3) % P; X3 = (X1 + Z1) % P; Y3 = (X2 + Z2) % P
+    X3 = X3 * Y3 % P; Y3 = (t0 + t2) % P; Y3 = (X3 - Y3) % P
+    X3 = (t0 + t0) % P; t0 = (X3 + t0) % P; t2 = b3 * t2 % P
+    Z3 = (t1 + t2) % P; t1 = (t1 - t2) % P; Y3 = b3 * Y3 % P
+    X3 = t4 * Y3 % P; t2 = t3 * t1 % P; X3 = (t2 - X3) % P
+    Y3 = Y3 * t0 % P; t1 = t1 * Z3 % P; Y3 = (t1 + Y3) % P
+    t0 = t0 * t3 % P; Z3 = Z3 * t4 % P; Z3 = (Z3 + t0) % P
+    return ProjectivePoint(X3, Y3, Z3)
+
+
+def g1_add_mixed_rcb(
+    p1: ProjectivePoint, q: tuple[int, int]
+) -> ProjectivePoint:
+    """Complete mixed addition (RCB 2016, Alg. 8, a = 0, b3 = 3): 11M.
+
+    q is an affine (x, y) point (must not be the identity; the projective
+    accumulator p1 may be anything, including the identity)."""
+    X1, Y1, Z1 = p1.x % P, p1.y % P, p1.z % P
+    X2, Y2 = q[0] % P, q[1] % P
+    b3 = 3
+    t0 = X1 * X2 % P; t1 = Y1 * Y2 % P; t3 = (X2 + Y2) % P
+    t4 = (X1 + Y1) % P; t3 = t3 * t4 % P; t4 = (t0 + t1) % P
+    t3 = (t3 - t4) % P; t4 = Y2 * Z1 % P; t4 = (t4 + Y1) % P
+    Y3 = X2 * Z1 % P; Y3 = (Y3 + X1) % P; X3 = (t0 + t0) % P
+    t0 = (X3 + t0) % P; t2 = b3 * Z1 % P; Z3 = (t1 + t2) % P
+    t1 = (t1 - t2) % P; Y3 = b3 * Y3 % P; X3 = t4 * Y3 % P
+    t2 = t3 * t1 % P; X3 = (t2 - X3) % P; Y3 = Y3 * t0 % P
+    t1 = t1 * Z3 % P; Y3 = (t1 + Y3) % P; t0 = t0 * t3 % P
+    Z3 = Z3 * t4 % P; Z3 = (Z3 + t0) % P
+    return ProjectivePoint(X3, Y3, Z3)
+
+
+def g1_double_rcb(p: ProjectivePoint) -> ProjectivePoint:
+    """Complete doubling (RCB 2016, Alg. 9, a = 0, b3 = 3): 8M."""
+    X, Y, Z = p.x % P, p.y % P, p.z % P
+    b3 = 3
+    t0 = Y * Y % P; Z3 = (t0 + t0) % P; Z3 = (Z3 + Z3) % P
+    Z3 = (Z3 + Z3) % P; t1 = Y * Z % P; t2 = Z * Z % P
+    t2 = b3 * t2 % P; X3 = t2 * Z3 % P; Y3 = (t0 + t2) % P
+    Z3 = t1 * Z3 % P; t1 = (t2 + t2) % P; t2 = (t1 + t2) % P
+    t0 = (t0 - t2) % P; Y3 = t0 * Y3 % P; Y3 = (X3 + Y3) % P
+    t1 = X * Y % P; X3 = t0 * t1 % P; X3 = (X3 + X3) % P
+    return ProjectivePoint(X3, Y3, Z3)
+
+
 def g1_scalar_mult(pt: ProjectivePoint, k: int) -> ProjectivePoint:
     """Double-and-add scalar multiplication (bls12_377.ts:71-73)."""
     if k < 0:
