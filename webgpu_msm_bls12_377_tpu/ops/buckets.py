@@ -57,6 +57,7 @@ class BucketPlan(NamedTuple):
 
 SIGN_BIT = 30
 IDX_MASK = (1 << SIGN_BIT) - 1
+GATHER_BATCH = 4  # rounds fetched per gather (see accumulate_buckets)
 
 
 def build_bucket_plan(
@@ -140,20 +141,35 @@ def accumulate_buckets(
     n_aff = group.AFFINE_COORDS
     acc0 = group.zero((num_buckets,))
 
-    def body(acc, t):
-        idx = jnp.minimum(plan.starts + t, jnp.int32(total - 1))
-        valid = t < plan.lens
-        v = plan.sorted_vals[idx]
+    # The row gather is per-row latency-bound on TPU (~25ns/row regardless
+    # of row width), so gathering GATHER_BATCH rounds' rows in one call is
+    # ~30% cheaper than per-round gathers; the point-adds then run over
+    # per-round slices of the batched block.
+    k = GATHER_BATCH if num_rounds % GATHER_BATCH == 0 else 1
+    offsets = np.arange(k, dtype=np.int32)[:, None]  # (k, 1)
+
+    def body(acc, t0):
+        idx = jnp.minimum(
+            plan.starts[None, :] + t0 + offsets, jnp.int32(total - 1)
+        )  # (k, B)
+        v = plan.sorted_vals[idx.reshape(-1)]
+        gathered = jnp.take(
+            table_rows, (v & IDX_MASK), axis=0
+        )  # (k*B, C*W)
         sign_pos = (v >> SIGN_BIT) == 1
-        pidx = v & IDX_MASK
-        gathered = jnp.take(table_rows, pidx, axis=0).T  # (C*W, B)
-        aff = tuple(
-            gathered[c * n_limbs : (c + 1) * n_limbs] for c in range(n_aff)
-        )
-        return masked_add_mixed(group, acc, aff, sign_pos, valid), None
+        for j in range(k):
+            t = t0 + offsets[j, 0]
+            valid = t < plan.lens
+            g = gathered[j * num_buckets : (j + 1) * num_buckets].T
+            aff = tuple(
+                g[c * n_limbs : (c + 1) * n_limbs] for c in range(n_aff)
+            )
+            sp = sign_pos[j * num_buckets : (j + 1) * num_buckets]
+            acc = masked_add_mixed(group, acc, aff, sp, valid)
+        return acc, None
 
     acc, _ = jax.lax.scan(
-        body, acc0, jnp.arange(num_rounds, dtype=jnp.int32)
+        body, acc0, jnp.arange(0, num_rounds, k, dtype=jnp.int32)
     )
     return acc
 

@@ -309,6 +309,13 @@ def mont_mul(
     n0 = jnp.uint32(ctx.params.n0)
 
     batch = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])
+    # The x operand is sliced limb-by-limb; slicing a broadcast of a
+    # traced (W, 1) value crashes the Mosaic backend inside Pallas
+    # kernels, so put the full-batch operand on the sliced side.  REDC's
+    # output is the canonical residue either way, so the swap is
+    # value-exact.
+    if x.shape[1:] != batch and y.shape[1:] == batch:
+        x, y = y, x
     # Pre-broadcast everything the loop body touches to the full (W, N)
     # shape: dual-axis broadcast multiplies (e.g. (1,N)*(W,1)) and
     # squeeze/expand row concats inside a scan body trigger pathological
