@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--no-check", action="store_true")
     ap.add_argument("--sharded", action="store_true",
                     help="shard over all local devices via the mesh engine")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one warm run")
     args = ap.parse_args()
 
     import jax
@@ -113,6 +115,13 @@ def main():
     for _ in range(args.runs):
         result, dev_s, host_s = once()
         warm.append(dev_s + host_s)
+
+    if args.profile:
+        # tracing/observability surface (the reference's analogue is the
+        # performance.now() harness + CSV export; here: a real device trace)
+        with jax.profiler.trace(args.profile):
+            once()
+        print(f"# profiler trace written to {args.profile}", flush=True)
 
     if not args.no_check:
         scalars = [

@@ -12,7 +12,9 @@ import pytest
 from webgpu_msm_bls12_377_tpu.params import (
     BLS12_377_BASE_FIELD,
     EDWARDS_BLS12_BASE_FIELD,
+    CurveId,
     compute_misc_params,
+    mont_params_for,
 )
 from webgpu_msm_bls12_377_tpu.reference.mont import (
     barrett_mul,
@@ -130,3 +132,16 @@ def test_barrett_enters_montgomery_form(rng):
     assert barrett_mul(x, params.r, params) == params.to_mont(x)
     # and the montgomery route via r^2 gives the same result
     assert mont_mul(x, params.r2, params) == params.to_mont(x)
+
+
+@pytest.mark.parametrize("curve", [CurveId.BLS12_377, CurveId.EDWARDS_BLS12])
+def test_barrett_domb_mul(curve, rng):
+    """Barrett-Domb benchmark variant (barrett_domb.template.wgsl:166-188)."""
+    from webgpu_msm_bls12_377_tpu.reference.mont import barrett_domb_mul
+
+    params = mont_params_for(curve)
+    p = params.p
+    cases = [(rng.randrange(p), rng.randrange(p)) for _ in range(32)]
+    cases += [(0, p - 1), (1, p - 1), (p - 1, p - 1), (0, 0)]
+    for x, y in cases:
+        assert barrett_domb_mul(x, y, params) == (x * y) % p

@@ -43,9 +43,17 @@ def run_power(engine, curve, power, num_runs, rng_seed=42):
 
     chunk_size = choose_chunk_size(n)
 
+    # stage inputs on-device once (as bench.py: the tunneled host->device
+    # path is ~60 MB/s and would swamp the MSM itself)
+    import jax.numpy as jnp
+
+    pw_dev = jnp.asarray(point_words)
+    sw_dev = jnp.asarray(scalar_words)
+    np.asarray(pw_dev[0, 0, :1]), np.asarray(sw_dev[0, :1])
+
     def once():
         t0 = time.perf_counter()
-        coords = engine.msm_device(point_words, scalar_words, chunk_size)
+        coords = engine.msm_device(pw_dev, sw_dev, chunk_size)
         coords = tuple(np.asarray(c) for c in coords)  # hard fence
         result = engine._finalize(coords, chunk_size)
         return result, time.perf_counter() - t0

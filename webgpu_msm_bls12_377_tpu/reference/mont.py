@@ -335,3 +335,138 @@ def barrett_mul(x: int, y: int, params: MontParams) -> int:
     xl = to_words_le(x, params.num_words, params.word_size)
     yl = to_words_le(y, params.num_words, params.word_size)
     return from_words_le_unchecked(barrett_mul_limbs(xl, yl, params), params.word_size)
+
+
+# ---------------------------------------------------------------------------
+# Barrett-Domb multiplication (benchmark variant)
+# ---------------------------------------------------------------------------
+#
+# u32-machine model of the reference's Barrett-Domb shader
+# (src/submission/miscellaneous/wgsl/barrett_domb.template.wgsl:1-188,
+# itself adapted from ingonyama-zk/modular_multiplication): a Barrett
+# variant that left-aligns the product and uses MSB/LSB half-multiplies so
+# the estimate is off by at most a couple of subtractions.
+
+
+def _machine_two_digit_add(a: list[int], b: list[int], word_size: int):
+    mask = (1 << word_size) - 1
+    carry = 0
+    res = [0, 0, 0]
+    for i in range(2):
+        s = a[i] + b[i] + carry
+        res[i] = s & mask
+        carry = s >> word_size
+    res[2] = carry
+    return res
+
+
+def _mp_shifter_left(a: list[int], shift: int, word_size: int) -> list[int]:
+    """BigIntWide << shift, for word_size <= shift < 2*word_size."""
+    mask = (1 << word_size) - 1
+    n2 = len(a)
+    res = [0] * n2
+    carry = 0
+    x = shift - word_size
+    for i in range(1, n2):
+        res[i] = ((a[i - 1] << x) & mask) + carry
+        carry = a[i - 1] >> (word_size - x)
+    return res
+
+
+def _mp_shifter_right(a: list[int], shift: int, num_words: int, word_size: int):
+    """BigIntMediumWide >> shift -> BigInt (top num_words limbs)."""
+    two_w = 1 << word_size
+    res = [0] * num_words
+    borrow = 0
+    for idx in range(num_words):
+        i = num_words - idx - 1
+        new_borrow = (a[i] << (word_size - shift)) & U32
+        res[i] = ((a[i] >> shift) | borrow) % two_w
+        borrow = new_borrow
+    return res
+
+
+def _mp_msb_multiply(a_wide, b, num_words, word_size):
+    """MSB half-product of a_wide's top half with b (barrett_domb:76-95)."""
+    c = [0] * (num_words + 1)
+    for l in range(num_words - 1, 2 * num_words - 1):
+        i_min = l - (num_words - 1)
+        for i in range(i_min, num_words):
+            v = l + 1 - num_words
+            prod = a_wide[num_words + i] * b[l - i]
+            mult_res = [prod & ((1 << word_size) - 1), prod >> word_size]
+            add_res = _machine_two_digit_add(
+                mult_res, [c[v], c[v + 1]], word_size
+            )
+            c[v] = add_res[0]
+            c[v + 1] = add_res[1]
+            if v + 2 < len(c):
+                c[v + 2] += add_res[2]
+    return c
+
+
+def _mp_lsb_multiply(a, b, num_words, word_size):
+    """LSB half-product (barrett_domb:97-108)."""
+    c = [0] * (num_words + 2)
+    for l in range(num_words):
+        i_min = max(0, l - (num_words - 1))
+        i_max = min(l, num_words - 1) + 1
+        for i in range(i_min, i_max):
+            prod = a[i] * b[l - i]
+            mult_res = [prod & ((1 << word_size) - 1), prod >> word_size]
+            add_res = _machine_two_digit_add(
+                mult_res, [c[l], c[l + 1]], word_size
+            )
+            c[l] = add_res[0]
+            c[l + 1] = add_res[1]
+            c[l + 2] += add_res[2]
+    return c[: num_words + 1]
+
+
+def barrett_domb_mul_limbs(a, b, params: MontParams) -> list[int]:
+    """Full Barrett-Domb modular multiply (barrett_domb field_mul:166-188)."""
+    n = params.num_words
+    w = params.word_size
+    mask = params.mask
+    p_limbs = to_words_le(params.p, n, w)
+    m_limbs = to_words_le(params.barrett_domb_m, n, w)
+    z = n * w - params.p_width
+
+    ab = wide_mul(a, b, w)
+    ab_shift = _mp_shifter_left(ab, 2 * z, w)
+    l = _mp_msb_multiply(ab_shift, m_limbs, n, w)
+
+    # l_add_ab_msb = (l >> one limb) + top half of ab_shift
+    c = [0] * (n + 1)
+    carry = 0
+    for i in range(n):
+        x = l[i + 1] + ab_shift[n + i] + carry
+        c[i] = x & mask
+        carry = x >> w
+    l2 = _mp_shifter_right(c, z, n, w)
+
+    ls = _mp_lsb_multiply(l2, p_limbs, n, w)
+
+    # result = ab - ls (num_words limbs, with borrow)
+    res = [0] * n
+    borrow = 0
+    for i in range(n):
+        r = (ab[i] - ls[i] - borrow) & U32
+        if ab[i] < ls[i] + borrow:
+            r = (r + (1 << w)) & U32
+            borrow = 1
+        else:
+            borrow = 0
+        res[i] = r
+
+    while bigint_gt(res, p_limbs) == 1:
+        res, _ = bigint_sub(res, p_limbs, w)
+    return res
+
+
+def barrett_domb_mul(x: int, y: int, params: MontParams) -> int:
+    xl = to_words_le(x, params.num_words, params.word_size)
+    yl = to_words_le(y, params.num_words, params.word_size)
+    return from_words_le_unchecked(
+        barrett_domb_mul_limbs(xl, yl, params), params.word_size
+    )
