@@ -103,3 +103,16 @@ def test_input_validation():
     x, y = crv.g1_to_affine(crv.G1_GENERATOR)
     with pytest.raises(ValueError):
         eng.compute_msm([(x, y)], [1, 2])
+
+
+def test_g1_batched_msm(g1_case):
+    """Batched MSM over a fixed point set (BASELINE config 5)."""
+    pts, scalars, expected = g1_case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    rng2 = random.Random("batch2")
+    scalars2 = [rng2.randrange(0, 1 << 253) for _ in range(N)]
+    eng = CuzkMsmEngine(CurveId.BLS12_377)
+    results = eng.compute_msm_batch(aff, [scalars, scalars2])
+    assert (results[0]["x"], results[0]["y"]) == expected
+    want2 = crv.g1_to_affine(naive_msm(pts, scalars2, G1))
+    assert (results[1]["x"], results[1]["y"]) == want2

@@ -257,6 +257,20 @@ class CuzkMsmEngine:
                 out[c][:, list(windows)] = np.asarray(arr)
         return tuple(out)
 
+    def compute_msm_batch(
+        self, points: Any, scalars_batch: Sequence[Any]
+    ) -> list[dict[str, int]]:
+        """Batched MSM over a fixed point set (BASELINE.json config 5).
+
+        Compiled programs are shared across the batch via the size-class
+        cache; per-set work re-runs the (cheap, fused) point conversion.
+        """
+        point_words = self._prepare_points(points)
+        return [
+            self.compute_msm(point_words, scalars)
+            for scalars in scalars_batch
+        ]
+
     def compute_msm(self, points: Any, scalars: Any) -> dict[str, int]:
         point_words = self._prepare_points(points)
         scalar_words = self._prepare_scalars(scalars)
