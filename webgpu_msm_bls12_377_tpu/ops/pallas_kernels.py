@@ -25,7 +25,6 @@ paths: tree folds, tiny test sizes).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +36,8 @@ from .curve import EdwardsOps
 BLOCK = 512  # lanes per program: (30, 512) u32 blocks ≈ 60 KB VMEM each
 
 
-@functools.lru_cache(maxsize=1)
 def _on_tpu() -> bool:
+    # not cached: tests/dryruns may repin the platform within a process
     return jax.default_backend() == "tpu"
 
 
