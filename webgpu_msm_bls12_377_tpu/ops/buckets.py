@@ -157,6 +157,9 @@ def accumulate_buckets(
             table_rows, (v & IDX_MASK), axis=0
         )  # (k*B, C*W)
         sign_pos = (v >> SIGN_BIT) == 1
+        # one kernel per round (NOT one fused k-round kernel: measured 8%
+        # slower at 2^20 — separate dispatches let XLA overlap the next
+        # round's gather with the current round's adds)
         for j in range(k):
             t = t0 + offsets[j, 0]
             valid = t < plan.lens
