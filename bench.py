@@ -3,9 +3,13 @@
 Mirrors the reference's scripted sweep protocol
 (src/submission/miscellaneous/full_benchmarks.ts:6-166): one cold run
 (includes XLA compile, the analogue of the forced-recompile run), then
-``--runs`` warm runs; verifies every result against the bigint oracle
-(all points are the fixed generator, as in the reference's random input
-mode, ui/AllBenchmarks.tsx:83-89, so the expected result is (sum k_i)*G).
+``--runs`` warm runs.  Every run is verified against a pinned golden
+with DISTINCT points (testdata.make_bench_case: P_i = k_i*G with known
+k_i, expected = (sum s_i*k_i)*G, cross-checked once against the
+independent native C++ Pippenger oracle and registered in
+test-data/goldens.json — the analogue of testCases.ts + the live check
+in ui/Benchmark.tsx:41-51).  --same-point falls back to the round-1
+all-generator protocol (AllBenchmarks.tsx:83-89).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline normalizes against 524288 points/s — a 2.0 s 2^20 MSM, the
@@ -33,6 +37,12 @@ def main():
                     choices=["bls12_377", "edwards_bls12"])
     ap.add_argument("--chunk-size", type=int, default=None)
     ap.add_argument("--no-check", action="store_true")
+    ap.add_argument("--same-point", action="store_true",
+                    help="round-1 protocol: every point is the generator "
+                         "(permutation-blind check; default is distinct "
+                         "points vs a pinned golden)")
+    ap.add_argument("--smvp-mode", default="auto",
+                    choices=["auto", "legacy", "interpret"])
     ap.add_argument("--sharded", action="store_true",
                     help="shard over all local devices via the mesh engine")
     ap.add_argument("--profile", default=None, metavar="DIR",
@@ -66,26 +76,44 @@ def main():
     n = args.n
     chunk_size = args.chunk_size or choose_chunk_size(n)
 
-    # --- inputs: fixed generator point, random scalars (reference protocol)
-    if curve == CurveId.BLS12_377:
-        gx, gy = crv.g1_to_affine(crv.G1_GENERATOR)
-        coord_words = 12
+    # --- inputs
+    expected_case = None
+    if args.same_point:
+        # round-1 protocol: fixed generator point, random scalars
+        if curve == CurveId.BLS12_377:
+            gx, gy = crv.g1_to_affine(crv.G1_GENERATOR)
+            coord_words = 12
+        else:
+            gx, gy = crv.ed_to_affine(crv.ED_GENERATOR)
+            coord_words = 8
+        base = np.stack([ints_to_words([gx], coord_words),
+                         ints_to_words([gy], coord_words)])
+        point_words = np.broadcast_to(base, (2, coord_words, n)).copy()
+        rng = np.random.RandomState(42)
+        scalar_words = rng.randint(0, 1 << 32, size=(8, n), dtype=np.uint64)
+        scalar_words = scalar_words.astype(np.uint32)
+        scalar_words[7] &= 0x1FFFFFFF  # < 2^253: signed-carry guarantee
     else:
-        gx, gy = crv.ed_to_affine(crv.ED_GENERATOR)
-        coord_words = 8
-    base = np.stack([ints_to_words([gx], coord_words),
-                     ints_to_words([gy], coord_words)])
-    point_words = np.broadcast_to(base, (2, coord_words, n)).copy()
-    rng = np.random.RandomState(42)
-    scalar_words = rng.randint(0, 1 << 32, size=(8, n), dtype=np.uint64)
-    scalar_words = scalar_words.astype(np.uint32)
-    scalar_words[7] &= 0x1FFFFFFF  # scalars < 2^253: signed-carry guarantee
+        from webgpu_msm_bls12_377_tpu.harness import testdata
+
+        power = int(np.log2(n))
+        assert (1 << power) == n, "--n must be a power of two (or use --same-point)"
+        case = testdata.make_bench_case(curve, power)
+        point_words, scalar_words = case.point_words, case.scalar_words
+        expected_case = case.expected
+        print(
+            f"# distinct-point case 2^{power}: golden_pinned="
+            f"{case.golden_pinned} oracle_checked={case.oracle_checked}",
+            flush=True,
+        )
 
     if args.sharded:
         from webgpu_msm_bls12_377_tpu.parallel.mesh import ShardedMsmEngine
         engine = ShardedMsmEngine(curve, chunk_size=chunk_size)
     else:
-        engine = CuzkMsmEngine(curve, chunk_size=chunk_size)
+        engine = CuzkMsmEngine(
+            curve, chunk_size=chunk_size, smvp_mode=args.smvp_mode
+        )
 
     # Stage inputs on-device once: this environment's TPU is behind a
     # tunnel moving ~60 MB/s, so per-run host->device transfer would
@@ -124,15 +152,22 @@ def main():
         print(f"# profiler trace written to {args.profile}", flush=True)
 
     if not args.no_check:
-        scalars = [
-            sum(int(scalar_words[i, j]) << (32 * i) for i in range(8))
-            for j in range(n)
-        ]
-        total = sum(scalars)
-        if curve == CurveId.BLS12_377:
-            want = crv.g1_to_affine(crv.g1_scalar_mult(crv.G1_GENERATOR, total))
+        if expected_case is not None:
+            want = expected_case  # pinned distinct-point golden
         else:
-            want = crv.ed_to_affine(crv.ed_scalar_mult(crv.ED_GENERATOR, total))
+            scalars = [
+                sum(int(scalar_words[i, j]) << (32 * i) for i in range(8))
+                for j in range(n)
+            ]
+            total = sum(scalars)
+            if curve == CurveId.BLS12_377:
+                want = crv.g1_to_affine(
+                    crv.g1_scalar_mult(crv.G1_GENERATOR, total)
+                )
+            else:
+                want = crv.ed_to_affine(
+                    crv.ed_scalar_mult(crv.ED_GENERATOR, total)
+                )
         assert (result["x"], result["y"]) == want, "MSM result mismatch!"
 
     mean_warm = float(np.mean(warm))

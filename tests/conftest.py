@@ -27,6 +27,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's cost is dominated by XLA CPU
+# compiles of the same pipeline programs in every pytest process; caching
+# them on disk makes re-runs start fast (VERDICT round-1 weak #8).
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(_REPO_ROOT, ".jax_cache_cpu")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import random
 
 import pytest

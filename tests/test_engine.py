@@ -103,6 +103,13 @@ def test_input_validation():
     x, y = crv.g1_to_affine(crv.G1_GENERATOR)
     with pytest.raises(ValueError):
         eng.compute_msm([(x, y)], [1, 2])
+    # non-canonical wire scalar (>= 2^253) must raise, mirroring the CPU
+    # oracle's final-carry error (reference/limbs.py:77), not silently
+    # produce a wrong result through the signed decomposition
+    with pytest.raises(ValueError, match="scalar out of range"):
+        eng.compute_msm([(x, y)], [(1 << 256) - 1])
+    with pytest.raises(ValueError, match="scalar out of range"):
+        eng.compute_msm([(x, y)], [1 << 253])
 
 
 def test_g1_batched_msm(g1_case):

@@ -1,0 +1,73 @@
+"""Golden-vector pipeline tests (testdata.make_bench_case).
+
+Verifies the three-way agreement the bench loop relies on at TPU scale:
+known-k identity == native C++ Pippenger oracle == the cuZK engine, with
+distinct points, plus golden registry pin/reload semantics.
+"""
+
+import numpy as np
+import pytest
+
+from webgpu_msm_bls12_377_tpu.harness import testdata
+from webgpu_msm_bls12_377_tpu.models.cuzk import CuzkMsmEngine
+from webgpu_msm_bls12_377_tpu.params import CurveId
+from webgpu_msm_bls12_377_tpu.reference import curve as ocurve
+
+
+@pytest.fixture()
+def case_dir(tmp_path, monkeypatch):
+    monkeypatch.setattr(testdata, "GOLDEN_PATH", str(tmp_path / "goldens.json"))
+    return str(tmp_path)
+
+
+def test_make_bench_case_pins_and_reloads(case_dir):
+    case = testdata.make_bench_case(
+        CurveId.BLS12_377, power=6, cache_dir=case_dir
+    )
+    assert case.point_words.shape == (2, 12, 64)
+    assert not case.golden_pinned  # first generation
+    # distinct points: at least two distinct x coordinates in the batch
+    assert len({case.point_words[0, 0, j] for j in range(64)}) > 8
+
+    # second call: payload from cache, expected from the registry
+    case2 = testdata.make_bench_case(
+        CurveId.BLS12_377, power=6, cache_dir=case_dir
+    )
+    assert case2.golden_pinned and case2.oracle_checked
+    assert case2.expected == case.expected
+    assert np.array_equal(case2.point_words, case.point_words)
+
+
+def test_engine_matches_golden_case(case_dir):
+    case = testdata.make_bench_case(
+        CurveId.BLS12_377, power=6, cache_dir=case_dir, cross_check=False
+    )
+    eng = CuzkMsmEngine(CurveId.BLS12_377, chunk_size=4)
+    got = eng.compute_msm(case.point_words, case.scalar_words)
+    assert (got["x"], got["y"]) == case.expected
+
+
+def test_native_oracle_agrees_with_known_k(case_dir):
+    pytest.importorskip("ctypes")
+    from webgpu_msm_bls12_377_tpu import native
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    case = testdata.make_bench_case(
+        CurveId.BLS12_377, power=6, cache_dir=case_dir, cross_check=True
+    )
+    assert case.oracle_checked
+
+
+def test_batch_to_affine_matches_single():
+    pts = [
+        ocurve.g1_scalar_mult(ocurve.G1_GENERATOR, k) for k in (3, 7, 11, 101)
+    ]
+    want = [ocurve.g1_to_affine(p) for p in pts]
+    got = testdata.batch_to_affine(
+        ocurve.P,
+        [p.x for p in pts],
+        [p.y for p in pts],
+        [p.z for p in pts],
+    )
+    assert got == want

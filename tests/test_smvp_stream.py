@@ -1,0 +1,152 @@
+"""Differential tests for the streamed slab SMVP (ops/smvp_stream.py).
+
+Runs the stream kernel in Pallas interpreter mode on CPU and checks it is
+bit-identical to the legacy masked-round path and correct vs the bigint
+oracle — the same strategy as tests/test_smvp_fused.py.  LANES is
+monkeypatched to 8 so chunk-4 windows (h=8) exercise multi-block layouts
+at test-friendly sizes.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from webgpu_msm_bls12_377_tpu.models.cuzk import CuzkMsmEngine
+from webgpu_msm_bls12_377_tpu.ops import buckets as dbuck
+from webgpu_msm_bls12_377_tpu.ops import curve as dcurve
+from webgpu_msm_bls12_377_tpu.ops import decompose as ddec
+from webgpu_msm_bls12_377_tpu.ops import smvp_stream as ss
+from webgpu_msm_bls12_377_tpu.ops.convert import (
+    ints_to_words,
+    u32_words_to_limbs_mont,
+)
+from webgpu_msm_bls12_377_tpu.params import CurveId
+from webgpu_msm_bls12_377_tpu.reference import curve as crv
+from webgpu_msm_bls12_377_tpu.reference.msm import G1, naive_msm
+
+CHUNK = 4
+NUM_WINDOWS = 64
+N = 96
+
+
+@pytest.fixture(autouse=True)
+def small_lanes(monkeypatch):
+    monkeypatch.setattr(ss, "LANES", 8)
+
+
+@pytest.fixture(scope="module")
+def case():
+    rng = random.Random("stream-smvp")
+    pts = [
+        crv.g1_scalar_mult(crv.G1_GENERATOR, rng.randrange(1, 1 << 60))
+        for _ in range(N)
+    ]
+    scalars = [rng.randrange(0, 1 << 253) for _ in range(N)]
+    return pts, scalars
+
+
+@pytest.fixture(scope="module")
+def device_inputs(case):
+    pts, scalars = case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    xw = np.asarray(ints_to_words([a[0] for a in aff], 12))
+    yw = np.asarray(ints_to_words([a[1] for a in aff], 12))
+    sw = np.asarray(ints_to_words(scalars, 8))
+    return xw, yw, sw
+
+
+def _plan(device_inputs):
+    xw, yw, sw = device_inputs
+    ops = dcurve.G1Ops()
+    table = jnp.stack(
+        [
+            u32_words_to_limbs_mont(ops.ctx, jnp.asarray(xw)),
+            u32_words_to_limbs_mont(ops.ctx, jnp.asarray(yw)),
+        ]
+    )
+    digits = ddec.decompose_scalars_signed(jnp.asarray(sw), CHUNK, NUM_WINDOWS)
+    plan = dbuck.build_bucket_plan(digits, CHUNK)
+    return ops, table, plan
+
+
+def test_layout_matches_numpy(device_inputs):
+    """build_stream_layout == a straightforward numpy construction."""
+    _, _, plan = _plan(device_inputs)
+    layout = jax.jit(
+        lambda s, l: ss.build_stream_layout(s, l, NUM_WINDOWS)
+    )(plan.starts, plan.lens)
+
+    lens = np.asarray(plan.lens).reshape(NUM_WINDOWS, -1)
+    starts = np.asarray(plan.starts).reshape(NUM_WINDOWS, -1)
+    h = lens.shape[1]
+    order = np.argsort(-lens, axis=1, kind="stable")
+    lens_rk = np.take_along_axis(lens, order, axis=1).reshape(-1, ss.LANES)
+    lb = lens_rk.max(axis=1)
+    assert np.array_equal(np.asarray(layout.lens_rk).max(axis=1), lb)
+    assert int(np.asarray(layout.total_slabs)) == int(lb.sum())
+    # perm sends bucket (w, j) to lane w*h + rank_w(j): applying it to the
+    # rank-ordered starts must reproduce the window-major starts
+    st = np.asarray(layout.starts_rk).reshape(-1)
+    assert np.array_equal(st[np.asarray(layout.perm)], starts.reshape(-1))
+
+
+def test_stream_matches_legacy_buckets(device_inputs):
+    """Stream kernel (interpret) == legacy masked-round path, bit-exact."""
+    ops, table, plan = _plan(device_inputs)
+    rounds = dbuck.round_class(int(np.asarray(plan.lens).max()))
+    legacy = jax.jit(
+        lambda t, p: dbuck.accumulate_buckets(
+            ops, dbuck.table_to_rows(t), p, rounds
+        )
+    )(table, plan)
+
+    layout = jax.jit(
+        lambda s, l: ss.build_stream_layout(s, l, NUM_WINDOWS)
+    )(plan.starts, plan.lens)
+    stable = jax.jit(lambda t: ss.build_signed_table(ops, t))(table)
+    s_slabs = ss.slab_class(int(np.asarray(layout.total_slabs)), N)
+    arr, outb, first, act = jax.jit(
+        lambda st, sv, lo: ss.gather_slabs(st, sv, lo, s_slabs)
+    )(stable, plan.sorted_vals, layout)
+    nb_total = NUM_WINDOWS * (1 << (CHUNK - 1)) // ss.LANES
+    blocks = ss.accumulate_buckets_streamed(
+        ops, arr, outb, first, act, nb_total, interpret=True
+    )
+    got = ss.permute_buckets(ops, blocks, layout)
+
+    for cg, cl in zip(got, legacy):
+        assert np.array_equal(np.asarray(cg), np.asarray(cl))
+
+
+def test_stream_engine_end_to_end(case):
+    """Interpret-mode stream engine == oracle through the public API."""
+    pts, scalars = case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    eng = CuzkMsmEngine(
+        CurveId.BLS12_377, chunk_size=CHUNK, smvp_mode="stream-interpret"
+    )
+    got = eng.compute_msm(aff, scalars)
+    want = crv.g1_to_affine(naive_msm(pts, scalars, G1))
+    assert (got["x"], got["y"]) == want
+
+
+def test_stream_engine_edwards(case):
+    """Edwards curve through the streamed path (3 affine coords)."""
+    rng = random.Random("stream-ed")
+    pts = [
+        crv.ed_scalar_mult(crv.ED_GENERATOR, rng.randrange(1, 1 << 60))
+        for _ in range(N)
+    ]
+    scalars = [rng.randrange(0, 1 << 253) for _ in range(N)]
+    aff = [crv.ed_to_affine(p) for p in pts]
+    eng = CuzkMsmEngine(
+        CurveId.EDWARDS_BLS12, chunk_size=CHUNK, smvp_mode="stream-interpret"
+    )
+    got = eng.compute_msm(aff, scalars)
+    from webgpu_msm_bls12_377_tpu.reference.msm import EDWARDS
+
+    want = crv.ed_to_affine(naive_msm(pts, scalars, EDWARDS))
+    assert (got["x"], got["y"]) == want

@@ -6,15 +6,26 @@ TPU equivalent of the reference's test-data layer (SURVEY.md §2.4):
   than host bigint arithmetic at 2^16+)
 - saveTestCaseToFile.ts:1-23         -> save_test_case (same text format:
   one decimal number per line, x and y on separate lines per point)
-- src/test-data/testCases.ts:11-52   -> TestCase + GOLDEN registry of
-  expected affine results per power (filled in as cases are generated and
-  cross-checked against the oracle)
+- src/test-data/testCases.ts:11-52   -> TestCase + the GOLDEN registry
+  (test-data/goldens.json): pinned expected affine results per
+  (curve, power), checked live on every bench run (Benchmark.tsx:41-51)
 - loadTestCase                        -> load_test_case
+
+Distinct-point bench cases (make_bench_case) use points P_i = k_i * G with
+*known* k_i: the expected MSM result is then (sum s_i*k_i mod q) * G — one
+host scalar multiplication — so every TPU run at 2^16..2^20 is verified
+against genuinely distinct points (a permutation-sensitive check: any
+gather-index bug in the sorted plan fails it).  At generation time the
+case is additionally cross-checked against the independent native C++
+Pippenger oracle (native/msm_oracle.cpp) and the result pinned as a
+golden.  Point/scalar payloads are cached as .npz next to the goldens
+(they are large and reproducible, so only goldens.json is committed).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import random
 from typing import Sequence
@@ -28,6 +39,7 @@ from ..reference import curve as ocurve
 from ..reference.limbs import from_words_le_unchecked
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "test-data")
+GOLDEN_PATH = os.path.join(DATA_DIR, "goldens.json")
 
 
 @dataclasses.dataclass
@@ -40,6 +52,15 @@ class TestCase:
     expected: tuple[int, int] | None = None
 
 
+def curve_order(curve: CurveId) -> int:
+    """Order of the prime subgroup the engine operates on."""
+    from ..params import EDWARDS_SUBGROUP_CHARACTERISTIC, SCALAR_FIELD
+
+    if curve == CurveId.BLS12_377:
+        return SCALAR_FIELD
+    return EDWARDS_SUBGROUP_CHARACTERISTIC
+
+
 def generate_points(
     curve: CurveId, n: int, seed: str = "hello"
 ) -> list[tuple[int, int]]:
@@ -48,6 +69,14 @@ def generate_points(
     Mirrors createRandomAffinePoints.ts.  n must be a power of two (the
     device batch); trim the result for other sizes.
     """
+    rng = random.Random(seed)
+    order = curve_order(curve)
+    ks = [rng.randrange(1, order) for _ in range(n)]
+    return points_from_ks(curve, ks)
+
+
+def points_from_ks(curve: CurveId, ks: Sequence[int]) -> list[tuple[int, int]]:
+    """Affine points k_i * G for given k_i, computed on device."""
     import jax
 
     from ..models.naive import batched_scalar_mult
@@ -56,24 +85,21 @@ def generate_points(
     from ..ops.field import from_mont, mont_mul
     import jax.numpy as jnp
 
-    rng = random.Random(seed)
+    n = len(ks)
     group = group_ops(curve)
     ctx = group.ctx
     if curve == CurveId.BLS12_377:
         gx, gy = ocurve.g1_to_affine(ocurve.G1_GENERATOR)
         coord_words = 12
-        order = ocurve.Q  # scalar field size bound
     else:
         gx, gy = ocurve.ed_to_affine(ocurve.ED_GENERATOR)
         coord_words = 8
-        order = ocurve.Q
-    scalars = [rng.randrange(1, order) for _ in range(n)]
 
     base = np.stack(
         [ints_to_words([gx], coord_words), ints_to_words([gy], coord_words)]
     )
     point_words = np.broadcast_to(base, (2, coord_words, n)).copy()
-    scalar_words = np.asarray(ints_to_words(scalars, 8))
+    scalar_words = np.asarray(ints_to_words(list(ks), 8))
 
     def fn(pw, sw):
         xm = u32_words_to_limbs_mont(ctx, pw[0])
@@ -88,16 +114,184 @@ def generate_points(
     coords = jax.jit(fn)(jnp.asarray(point_words), jnp.asarray(scalar_words))
     arrs = [np.asarray(c) for c in coords]
     w = ctx.word_size
-    out = []
-    for j in range(n):
-        vals = [from_words_le_unchecked(a[:, j].tolist(), w) for a in arrs]
-        if curve == CurveId.BLS12_377:
-            pt = ocurve.ProjectivePoint(vals[0], vals[1], vals[2])
-            out.append(ocurve.g1_to_affine(pt))
-        else:
-            pt = ocurve.ExtendedPoint(*vals)
-            out.append(ocurve.ed_to_affine(pt))
+    cols = [
+        [from_words_le_unchecked(a[:, j].tolist(), w) for j in range(n)]
+        for a in arrs
+    ]
+    if curve == CurveId.BLS12_377:
+        return batch_to_affine(ocurve.P, cols[0], cols[1], cols[2])
+    return batch_to_affine(ocurve.ED_P, cols[0], cols[1], cols[3])
+
+
+def batch_to_affine(
+    p: int, xs: Sequence[int], ys: Sequence[int], zs: Sequence[int]
+) -> list[tuple[int, int]]:
+    """Projective -> affine for a batch with ONE modular inversion.
+
+    Montgomery's batch-inversion trick: prefix products of z, a single
+    Fermat inverse of the total, then a backward sweep — 3 muls per point
+    instead of one ~380-squaring inversion each, which is what makes
+    2^20-point affine conversion take seconds instead of hours.
+    """
+    n = len(zs)
+    prefix = [1] * (n + 1)
+    for i, z in enumerate(zs):
+        if z == 0:
+            raise ValueError("point at infinity in batch_to_affine")
+        prefix[i + 1] = (prefix[i] * z) % p
+    inv_total = pow(prefix[n], p - 2, p)
+    out: list[tuple[int, int]] = [None] * n  # type: ignore[list-item]
+    for i in range(n - 1, -1, -1):
+        zi = (prefix[i] * inv_total) % p  # = zs[i]^-1
+        inv_total = (inv_total * zs[i]) % p
+        out[i] = ((xs[i] * zi) % p, (ys[i] * zi) % p)
     return out
+
+
+@dataclasses.dataclass
+class BenchCase:
+    """Wire-format distinct-point bench inputs with a pinned expected
+    result (the TPU analogue of testCases.ts + Benchmark.tsx's live
+    check)."""
+
+    curve: CurveId
+    point_words: np.ndarray  # (2, coord_words, n) uint32 wire format
+    scalar_words: np.ndarray  # (8, n) uint32 wire format
+    expected: tuple[int, int]
+    golden_pinned: bool  # True if the expected value came from goldens.json
+    oracle_checked: bool  # True if the native C++ oracle verified this case
+
+
+def load_goldens(path: str = GOLDEN_PATH) -> dict:
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def save_goldens(goldens: dict, path: str = GOLDEN_PATH) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(goldens, f, indent=1, sort_keys=True)
+
+
+def make_bench_case(
+    curve: CurveId,
+    power: int,
+    seed: str | None = None,
+    cache_dir: str = DATA_DIR,
+    cross_check: bool = True,
+) -> BenchCase:
+    """Distinct-point bench case at n = 2^power, verified and pinned.
+
+    Points are k_i * G with known k_i (generated on device, cached as .npz
+    — large and reproducible, so not committed), scalars are seeded
+    253-bit values.  The expected result is (sum s_i*k_i mod q) * G; on
+    first generation it is cross-checked against the independent native
+    C++ Pippenger oracle and pinned into test-data/goldens.json, which IS
+    committed — the analogue of the reference's hardcoded testCases.ts
+    registry.
+    """
+    n = 1 << power
+    seed = seed or f"bench-{power}"
+    tag = curve.value
+    order = curve_order(curve)
+    os.makedirs(cache_dir, exist_ok=True)
+    npz_path = os.path.join(cache_dir, f"bench-{tag}-{power}-{seed}.npz")
+
+    rng = random.Random(f"{seed}-{tag}")
+    ks = [rng.randrange(1, order) for _ in range(n)]
+    scalars = [rng.randrange(0, 1 << 253) for _ in range(n)]
+
+    if os.path.exists(npz_path):
+        blob = np.load(npz_path)
+        point_words = blob["point_words"]
+        scalar_words = blob["scalar_words"]
+    else:
+        points = points_from_ks(curve, ks)
+        coord_words = 12 if curve == CurveId.BLS12_377 else 8
+        point_words = np.stack(
+            [
+                ints_to_words([p[0] for p in points], coord_words),
+                ints_to_words([p[1] for p in points], coord_words),
+            ]
+        )
+        scalar_words = np.asarray(ints_to_words(scalars, 8))
+        np.savez_compressed(
+            npz_path, point_words=point_words, scalar_words=scalar_words
+        )
+
+    # expected result via the known-k identity
+    t = 0
+    for s, k in zip(scalars, ks):
+        t += s * k
+    t %= order
+    if curve == CurveId.BLS12_377:
+        expected = ocurve.g1_to_affine(
+            ocurve.g1_scalar_mult(ocurve.G1_GENERATOR, t)
+        )
+    else:
+        expected = ocurve.ed_to_affine(
+            ocurve.ed_scalar_mult(ocurve.ED_GENERATOR, t)
+        )
+
+    key = f"{tag}:{power}:{seed}"
+    goldens = load_goldens()
+    pinned = key in goldens
+    oracle_checked = False
+    if pinned:
+        gx, gy = (int(v, 16) for v in goldens[key])
+        if (gx, gy) != expected:
+            raise AssertionError(
+                f"golden mismatch for {key}: registry vs known-k identity"
+            )
+    else:
+        if cross_check:
+            oracle_checked = _native_cross_check(
+                curve, point_words, scalar_words, expected
+            )
+        goldens[key] = [hex(expected[0]), hex(expected[1])]
+        save_goldens(goldens)
+    return BenchCase(
+        curve=curve,
+        point_words=point_words,
+        scalar_words=scalar_words,
+        expected=expected,
+        golden_pinned=pinned,
+        oracle_checked=oracle_checked or pinned,
+    )
+
+
+def _native_cross_check(
+    curve: CurveId, point_words: np.ndarray, scalar_words: np.ndarray,
+    expected: tuple[int, int],
+) -> bool:
+    """Verify a case against the independent C++ Pippenger oracle."""
+    from .. import native
+
+    if not native.available():
+        return False
+    pbuf = _wire_bytes(point_words)
+    sbuf = _wire_bytes(scalar_words)
+    if curve == CurveId.BLS12_377:
+        got = native.msm_g1(pbuf, sbuf)
+    else:
+        got = native.msm_edwards(pbuf, sbuf)
+    if got != expected:
+        raise AssertionError(
+            f"native oracle disagrees with known-k identity: {got} vs {expected}"
+        )
+    return True
+
+
+def _wire_bytes(words: np.ndarray) -> bytes:
+    """(..., coord_words, n) LE u32 words -> interleaved LE wire bytes."""
+    if words.ndim == 3:
+        # (2, W, N) -> per point: x words then y words
+        arr = np.transpose(words, (2, 0, 1))  # (N, 2, W)
+    else:
+        arr = words.T  # (N, W)
+    return arr.astype("<u4").tobytes()
 
 
 def make_test_case(

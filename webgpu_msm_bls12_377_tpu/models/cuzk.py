@@ -20,6 +20,7 @@ force_recompile flag defeats the cache to measure cold-compile time.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any, Sequence
 
 import jax
@@ -33,6 +34,25 @@ from ..ops.buckets import (
     round_class,
     table_to_rows,
     window_slice_indices,
+)
+from ..ops.smvp_kernel import (
+    accumulate_buckets_fused,
+    accumulate_buckets_windowed,
+    fused_supported,
+    make_wide_rows,
+    pregather_signed,
+    segment_plan,
+    windowed_supported,
+)
+from ..ops import smvp_stream
+from ..ops.smvp_stream import (
+    accumulate_buckets_streamed,
+    build_signed_table,
+    build_stream_layout,
+    gather_slabs,
+    permute_buckets,
+    slab_class,
+    stream_supported,
 )
 from ..ops.convert import (
     ints_to_words,
@@ -63,7 +83,13 @@ class CuzkMsmEngine:
     mirroring the reference submission API (submission.ts:85-94).
     """
 
-    _compiled: dict[tuple, Any] = {}
+    #: LRU cache of compiled size-class programs, shared across instances
+    #: (the reference's ShaderManager keeps one pipeline per shader config,
+    #: shader_manager.ts:71-78).  Bounded so a long-lived batched service
+    #: cycling through many (n, rounds, windows) classes cannot pin
+    #: unbounded numbers of compiled executables.
+    _compiled: OrderedDict[tuple, Any] = OrderedDict()
+    _CACHE_MAX = 64
 
     def __init__(
         self,
@@ -72,7 +98,18 @@ class CuzkMsmEngine:
         force_recompile: bool = False,
         num_bpr_threads: int = 1024,
         chunk_size: int | None = None,
+        smvp_mode: str = "auto",
     ):
+        """smvp_mode selects the SMVP stage implementation:
+
+        - "auto": the streamed slab kernel (ops/smvp_stream.py) on TPU
+          when the window shape supports it, else the fused segment-DMA
+          kernel (ops/smvp_kernel.py), else the round-1 masked-round
+          XLA path;
+        - "stream" / "fused" / "legacy": force one path;
+        - "stream-interpret" / "interpret": the stream/fused kernel in
+          the Pallas interpreter (differential tests on CPU).
+        """
         self.curve = curve
         self.group = group_ops(curve)
         self.ctx = self.group.ctx
@@ -80,6 +117,11 @@ class CuzkMsmEngine:
         self.force_recompile = force_recompile
         self.num_bpr_threads = num_bpr_threads
         self.chunk_size_override = chunk_size
+        assert smvp_mode in (
+            "auto", "stream", "stream-interpret", "fused", "interpret",
+            "legacy",
+        ), smvp_mode
+        self.smvp_mode = smvp_mode
         if curve == CurveId.BLS12_377:
             self.ogroup = omsm.G1
         else:
@@ -89,13 +131,15 @@ class CuzkMsmEngine:
     #
     # Two device programs per size class:
     #   plan:  convert/decompose + sort-transpose; returns the Montgomery
-    #          point table and the bucket segment layout.
+    #          point table, the bucket segment layout, and the per-window
+    #          max bucket length (computed on device).
     #   main:  SMVP bucket accumulation (static round count) + BPR +
     #          Montgomery exit.
-    # Exactly one scalar (the max bucket length) crosses back to the host
-    # between them, to pick the static SMVP round-count class — a
-    # while_loop would avoid the sync but hits a ~100x XLA/TPU compile
-    # pathology when Montgomery lax.scans nest under it (ops/buckets.py).
+    # Only num_windows ints (the per-window max bucket lengths) cross back
+    # to the host between them, to pick the static SMVP round-count
+    # classes — a while_loop would avoid the sync but hits a ~100x XLA/TPU
+    # compile pathology when Montgomery lax.scans nest under it
+    # (ops/buckets.py).
 
     def _build_plan_fn(self, chunk_size: int):
         ctx = self.ctx
@@ -113,7 +157,10 @@ class CuzkMsmEngine:
                 scalar_words, chunk_size, num_windows
             )
             plan = build_bucket_plan(digits, chunk_size)
-            return table_to_rows(table), plan
+            # per-window max bucket length, on device: the only plan->main
+            # host sync is these num_windows ints (not the full lens array)
+            wmax = plan.lens.reshape(num_windows, -1).max(axis=1)
+            return table_to_rows(table), plan, wmax
 
         return plan_fn
 
@@ -149,6 +196,185 @@ class CuzkMsmEngine:
 
         return main_fn
 
+    # -- fused segment-DMA pipeline (ops/smvp_kernel.py) --------------------
+    #
+    # No host sync at all: dynamic per-block trip counts replace the
+    # static round classes, so one plan program and one main program per
+    # (curve, chunk_size, n) cover every input distribution.
+
+    def _build_fused_plan_fn(self, chunk_size: int):
+        ctx = self.ctx
+        group = self.group
+        num_windows = SCALAR_BITS // chunk_size
+        is_edwards = isinstance(self.group, EdwardsOps)
+
+        def plan_fn(point_words, scalar_words):
+            xm = u32_words_to_limbs_mont(ctx, point_words[0])
+            ym = u32_words_to_limbs_mont(ctx, point_words[1])
+            if is_edwards:
+                table = jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
+            else:
+                table = jnp.stack([xm, ym])
+            digits = decompose_scalars_signed(
+                scalar_words, chunk_size, num_windows
+            )
+            plan = build_bucket_plan(digits, chunk_size)
+            rows = make_wide_rows(group, table)
+            return rows, plan.sorted_vals, plan.starts, plan.lens
+
+        return plan_fn
+
+    def _build_fused_main_fn(
+        self, chunk_size: int, n: int, interpret: bool
+    ):
+        ctx = self.ctx
+        group = self.group
+        num_windows = SCALAR_BITS // chunk_size
+        num_buckets = num_windows * (1 << (chunk_size - 1))
+        bpr_threads = self.num_bpr_threads
+        windowed = windowed_supported(
+            num_buckets, num_windows, n, interpret
+        )
+
+        def main_fn(rows, sorted_vals, starts, lens):
+            if windowed:
+                buckets = accumulate_buckets_windowed(
+                    group, rows, sorted_vals, starts, lens, num_windows,
+                    interpret=interpret,
+                )
+            else:
+                gathered = pregather_signed(group, rows, sorted_vals)
+                buckets = accumulate_buckets_fused(
+                    group, gathered, segment_plan(starts, lens),
+                    interpret=interpret,
+                )
+            wsums = reduce_buckets(
+                group, buckets, num_windows, chunk_size, bpr_threads
+            )
+            return tuple(from_mont(ctx, c) for c in wsums)
+
+        return main_fn
+
+    # -- streamed slab pipeline (ops/smvp_stream.py) ------------------------
+    #
+    # One plan program; one main program per slab-count size class.  The
+    # only host sync is the total-slab scalar (the analogue of round 1's
+    # per-window max readback, but one int).
+
+    def _build_stream_plan_fn(self, chunk_size: int):
+        ctx = self.ctx
+        group = self.group
+        num_windows = SCALAR_BITS // chunk_size
+        is_edwards = isinstance(self.group, EdwardsOps)
+
+        def plan_fn(point_words, scalar_words):
+            xm = u32_words_to_limbs_mont(ctx, point_words[0])
+            ym = u32_words_to_limbs_mont(ctx, point_words[1])
+            if is_edwards:
+                table = jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
+            else:
+                table = jnp.stack([xm, ym])
+            digits = decompose_scalars_signed(
+                scalar_words, chunk_size, num_windows
+            )
+            plan = build_bucket_plan(digits, chunk_size)
+            layout = build_stream_layout(plan.starts, plan.lens, num_windows)
+            return build_signed_table(group, table), plan.sorted_vals, layout
+
+        return plan_fn
+
+    def _build_stream_main_fn(
+        self, chunk_size: int, s_slabs: int, interpret: bool
+    ):
+        ctx = self.ctx
+        group = self.group
+        num_windows = SCALAR_BITS // chunk_size
+        nb_total = num_windows * (1 << (chunk_size - 1)) // smvp_stream.LANES
+        bpr_threads = self.num_bpr_threads
+
+        def main_fn(signed_table, sorted_vals, layout):
+            arr, outb, first, act = gather_slabs(
+                signed_table, sorted_vals, layout, s_slabs
+            )
+            blocks = accumulate_buckets_streamed(
+                group, arr, outb, first, act, nb_total, interpret=interpret
+            )
+            buckets = permute_buckets(group, blocks, layout)
+            wsums = reduce_buckets(
+                group, buckets, num_windows, chunk_size, bpr_threads
+            )
+            return tuple(from_mont(ctx, c) for c in wsums)
+
+        return main_fn
+
+    def _msm_device_stream(self, point_words, scalar_words, chunk_size: int):
+        n = point_words.shape[-1]
+        interp = self.smvp_mode == "stream-interpret"
+        plan_fn = self._cache_get(
+            (self.curve, "splan", chunk_size, n),
+            lambda: self._build_stream_plan_fn(chunk_size),
+        )
+        signed_table, sorted_vals, layout = plan_fn(
+            jnp.asarray(point_words), jnp.asarray(scalar_words)
+        )
+        s_slabs = slab_class(int(np.asarray(layout.total_slabs)), n)
+        main_fn = self._cache_get(
+            (
+                self.curve, "smain", chunk_size, n, s_slabs,
+                self.num_bpr_threads, interp,
+            ),
+            lambda: self._build_stream_main_fn(chunk_size, s_slabs, interp),
+        )
+        coords = main_fn(signed_table, sorted_vals, layout)
+        return tuple(np.asarray(c) for c in coords)
+
+    def _select_smvp(self, chunk_size: int, n: int) -> str:
+        """Resolve smvp_mode to the concrete path for this size class."""
+        mode = self.smvp_mode
+        if mode == "auto":
+            if stream_supported(chunk_size, False):
+                return "stream"
+            if self._fused_ok(chunk_size, n):
+                return "fused"
+            return "legacy"
+        if mode in ("stream", "stream-interpret"):
+            interp = mode == "stream-interpret"
+            if not stream_supported(chunk_size, interp):
+                raise ValueError(
+                    f"streamed SMVP unsupported for chunk_size={chunk_size}"
+                )
+            return "stream"
+        if mode in ("fused", "interpret"):
+            return "fused" if self._fused_ok(chunk_size, n) else "legacy"
+        return "legacy"
+
+    def _fused_ok(self, chunk_size: int, n: int) -> bool:
+        if self.smvp_mode == "legacy":
+            return False
+        num_windows = SCALAR_BITS // chunk_size
+        num_buckets = num_windows * (1 << (chunk_size - 1))
+        interp = self.smvp_mode == "interpret"
+        return windowed_supported(
+            num_buckets, num_windows, n, interp
+        ) or fused_supported(num_buckets, num_windows * n, interp)
+
+    def _msm_device_fused(self, point_words, scalar_words, chunk_size: int):
+        n = point_words.shape[-1]
+        interp = self.smvp_mode == "interpret"
+        plan_fn = self._cache_get(
+            (self.curve, "fplan", chunk_size, n),
+            lambda: self._build_fused_plan_fn(chunk_size),
+        )
+        main_fn = self._cache_get(
+            (self.curve, "fmain", chunk_size, n, self.num_bpr_threads, interp),
+            lambda: self._build_fused_main_fn(chunk_size, n, interp),
+        )
+        rows, sorted_vals, starts, lens = plan_fn(
+            jnp.asarray(point_words), jnp.asarray(scalar_words)
+        )
+        coords = main_fn(rows, sorted_vals, starts, lens)
+        return tuple(np.asarray(c) for c in coords)
+
     def _get_compiled(
         self, kind: str, chunk_size: int, n: int, rounds=None, windows=None
     ):
@@ -161,23 +387,33 @@ class CuzkMsmEngine:
             windows,
             self.num_bpr_threads,
         )
-        if self.force_recompile or key not in self._compiled:
-            # a fresh jit wrapper defeats jax's executable cache, mirroring
-            # the reference's injected-dead-code recompile trick
-            if kind == "plan":
-                fn = self._build_plan_fn(chunk_size)
-            else:
-                fn = self._build_main_fn(chunk_size, rounds, windows)
-            self._compiled[key] = jax.jit(fn)
-        return self._compiled[key]
+        if kind == "plan":
+            build = lambda: self._build_plan_fn(chunk_size)
+        else:
+            build = lambda: self._build_main_fn(chunk_size, rounds, windows)
+        return self._cache_get(key, build)
 
-    def _window_groups(self, chunk_size: int, lens) -> dict[int, tuple[int, ...]]:
-        """Partition windows by SMVP round class from per-window max lens."""
-        num_windows = SCALAR_BITS // chunk_size
-        h = 1 << (chunk_size - 1)
-        per_window_max = np.asarray(lens).reshape(num_windows, h).max(axis=1)
+    def _cache_get(self, key: tuple, build) -> Any:
+        """LRU-bounded compiled-program cache (see _compiled)."""
+        cache = CuzkMsmEngine._compiled
+        if not self.force_recompile:
+            fn = cache.get(key)
+            if fn is not None:
+                cache.move_to_end(key)
+                return fn
+        # a fresh jit wrapper defeats jax's executable cache, mirroring
+        # the reference's injected-dead-code recompile trick
+        fn = jax.jit(build())
+        cache[key] = fn
+        cache.move_to_end(key)
+        while len(cache) > self._CACHE_MAX:
+            cache.popitem(last=False)
+        return fn
+
+    def _window_groups(self, wmax) -> dict[int, tuple[int, ...]]:
+        """Partition windows by SMVP round class from per-window maxima."""
         groups: dict[int, list[int]] = {}
-        for w, m in enumerate(per_window_max):
+        for w, m in enumerate(np.asarray(wmax)):
             groups.setdefault(round_class(int(m)), []).append(w)
         return {cls: tuple(ws) for cls, ws in groups.items()}
 
@@ -237,12 +473,19 @@ class CuzkMsmEngine:
         window groups run as separate programs).
         """
         n = point_words.shape[-1]
+        path = self._select_smvp(chunk_size, n)
+        if path == "stream":
+            return self._msm_device_stream(
+                point_words, scalar_words, chunk_size
+            )
+        if path == "fused":
+            return self._msm_device_fused(point_words, scalar_words, chunk_size)
         num_windows = SCALAR_BITS // chunk_size
         plan_fn = self._get_compiled("plan", chunk_size, n)
-        table_rows, plan = plan_fn(
+        table_rows, plan, wmax = plan_fn(
             jnp.asarray(point_words), jnp.asarray(scalar_words)
         )
-        groups = self._window_groups(chunk_size, plan.lens)
+        groups = self._window_groups(wmax)
         num_coords = len(self.group.zero((1,)))
         out = [
             np.empty((self.ctx.num_words, num_windows), dtype=np.uint32)
@@ -281,6 +524,15 @@ class CuzkMsmEngine:
             )
         if n == 0:
             raise ValueError("empty MSM")
+        # The signed decomposition's zero-final-carry guarantee holds only
+        # for scalars < 2^253 (the 253-bit scalar field; decompose.py:13-17).
+        # The CPU oracle raises on the final carry (reference/limbs.py:77);
+        # mirror that here instead of silently mis-answering.
+        if bool((scalar_words[7] >> 29).any()):
+            raise ValueError(
+                "scalar out of range: wire scalars must be < 2^253 "
+                "(canonical BLS12-377 scalar field elements)"
+            )
         chunk_size = self.chunk_size_override or choose_chunk_size(n)
         coords = self.msm_device(point_words, scalar_words, chunk_size)
         return self._finalize(coords, chunk_size)

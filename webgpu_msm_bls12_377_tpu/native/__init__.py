@@ -47,6 +47,7 @@ def _load():
                 "-O2",
                 "-shared",
                 "-fPIC",
+                "-pthread",
                 "-o",
                 _LIB_PATH,
                 _SRC,

@@ -17,6 +17,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "params_generated.h"
@@ -298,8 +299,46 @@ static void ed_add(const Ed &p1, const Ed &p2, Ed &out) {
 }
 
 // ---------------------------------------------------------------------------
-// Pippenger MSM (unsigned, window c=13) — independent of the device design
+// Pippenger MSM (unsigned, window c=13) — independent of the device design.
+// Windows are independent, so they run on a std::thread pool: the parallel
+// role of the reference's rayon-backed WASM worker pool
+// (src/workers/wasmMSM.ts:1-13), which verified 2^20 cases in seconds.
 // ---------------------------------------------------------------------------
+
+template <typename Point, void (*ADD)(const Point &, const Point &, Point &),
+          void (*SET_ZERO)(Point &)>
+static void pippenger_window(const std::vector<Point> &points,
+                             const uint8_t *scalars, size_t n, int w,
+                             Point &out) {
+    const int C = 13;
+    const size_t nbuckets = ((size_t)1 << C) - 1;
+    std::vector<Point> buckets(nbuckets);
+    for (size_t i = 0; i < nbuckets; ++i) SET_ZERO(buckets[i]);
+    for (size_t i = 0; i < n; ++i) {
+        // extract C bits starting at w*C from the 32-byte LE scalar
+        int bit = w * C;
+        int byte = bit >> 3, off = bit & 7;
+        uint32_t v = 0;
+        for (int k = 0; k < 4 && byte + k < 32; ++k)
+            v |= (uint32_t)scalars[i * 32 + byte + k] << (8 * k);
+        v = (v >> off) & ((1u << C) - 1);
+        if (v) {
+            Point t;
+            ADD(buckets[v - 1], points[i], t);
+            buckets[v - 1] = t;
+        }
+    }
+    Point running, total, t;
+    SET_ZERO(running);
+    SET_ZERO(total);
+    for (size_t b = nbuckets; b-- > 0;) {
+        ADD(running, buckets[b], t);
+        running = t;
+        ADD(total, running, t);
+        total = t;
+    }
+    out = total;
+}
 
 template <typename Point, void (*ADD)(const Point &, const Point &, Point &),
           void (*SET_ZERO)(Point &)>
@@ -308,35 +347,20 @@ static void pippenger(const std::vector<Point> &points,
     const int C = 13;
     const int NBITS = 256;
     const int windows = (NBITS + C - 1) / C;
-    const size_t nbuckets = ((size_t)1 << C) - 1;
     std::vector<Point> window_sums(windows);
-    std::vector<Point> buckets(nbuckets);
-    for (int w = windows - 1; w >= 0; --w) {
-        for (size_t i = 0; i < nbuckets; ++i) SET_ZERO(buckets[i]);
-        for (size_t i = 0; i < n; ++i) {
-            // extract C bits starting at w*C from the 32-byte LE scalar
-            int bit = w * C;
-            int byte = bit >> 3, off = bit & 7;
-            uint32_t v = 0;
-            for (int k = 0; k < 4 && byte + k < 32; ++k)
-                v |= (uint32_t)scalars[i * 32 + byte + k] << (8 * k);
-            v = (v >> off) & ((1u << C) - 1);
-            if (v) {
-                Point t;
-                ADD(buckets[v - 1], points[i], t);
-                buckets[v - 1] = t;
-            }
-        }
-        Point running, total, t;
-        SET_ZERO(running);
-        SET_ZERO(total);
-        for (size_t b = nbuckets; b-- > 0;) {
-            ADD(running, buckets[b], t);
-            running = t;
-            ADD(total, running, t);
-            total = t;
-        }
-        window_sums[w] = total;
+    unsigned hw = std::thread::hardware_concurrency();
+    if (n >= 4096 && hw > 1) {
+        std::vector<std::thread> pool;
+        pool.reserve(windows);
+        for (int w = 0; w < windows; ++w)
+            pool.emplace_back(pippenger_window<Point, ADD, SET_ZERO>,
+                              std::cref(points), scalars, n, w,
+                              std::ref(window_sums[w]));
+        for (auto &th : pool) th.join();
+    } else {
+        for (int w = 0; w < windows; ++w)
+            pippenger_window<Point, ADD, SET_ZERO>(points, scalars, n, w,
+                                                   window_sums[w]);
     }
     Point acc = window_sums[windows - 1];
     for (int w = windows - 2; w >= 0; --w) {

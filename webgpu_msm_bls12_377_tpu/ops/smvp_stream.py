@@ -1,0 +1,331 @@
+"""Streamed SMVP (v2): bucket accumulation as a slab-streaming kernel.
+
+The reference's SMVP shader walks each bucket's CSC row serially per
+thread (smvp_bls12_377.template.wgsl:70-160); its TPU analogue must feed
+one VPU with all buckets in lockstep.  Round 1 did that with per-round
+XLA row gathers + masked adds; dispatch-floor-corrected profiling
+(tools/probe_stream2.py) showed the true costs on this v5e:
+
+    row gather        ~11 ns/row   (NOT 26 — round-1's figure was
+                                    polluted by the ~25 ms dispatch floor)
+    element gather    ~8.5 ns/elt
+    (rows,128).T      ~free (2.8 TB/s)
+    BlockSpec stream  250-370 GB/s
+    masked point-add  ~45 ns/lane  (the real bottleneck: ~79% of SMVP)
+
+so the round-1 design's actual waste is its ADD COUNT: static per-window
+round classes execute ~2x the masked adds the buckets need.  This module
+reorganizes the whole stage around minimizing adds:
+
+1. Per window, buckets are sorted by length (argsort of 2^15 lens —
+   trivial), so each 256-lane block has near-uniform bucket lengths; the
+   block runs EXACTLY blockmax rounds.  Total adds drop from
+   sum_w(256 * global_max_class_w) to sum_blocks(256 * blockmax) —
+   ~1.03x the true entry count (measured vs ~2x for round classes).
+2. The plan lays every (block, round) out as a consecutive "slab" of 256
+   point rows.  One XLA gather materializes all slabs from a SIGNED
+   TABLE of 2n+8 rows ([x, y] at idx, [x, -y] at idx+n, an all-zero row
+   at 2n) — the digit sign AND the validity mask cost nothing: invalid
+   (row, round) pairs gather the zero row, whose mask word is 0, and
+   every real row carries mask word 1.  Word layout per 64-word row:
+   [x limbs | y limbs | (t limbs) | pad | mask @ 63].
+3. A transpose (~free) makes each slab a (64, 256) column block, and the
+   Pallas kernel is one grid step per slab: Pallas DMA-pipelines the
+   sequential slabs at HBM bandwidth while the VPU does one masked mixed
+   add per step into a VMEM-resident block accumulator (output-block
+   revisiting across the slabs of a block; scalar-prefetched slab ->
+   (input offset, output block, first?) maps).
+
+No manual DMAs, no static round classes, no per-window programs.  The
+only host sync is one slab-count readback to pick a static grid size
+class (the same sync discipline as the round-1 wmax readback).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .curve import EdwardsOps
+from .field import field_neg
+from .pallas_kernels import _const_arrays, _on_tpu, _rebuild_group
+
+LANES = 256  # bucket lanes per block (= columns per slab)
+CWP = 64  # words per padded point row; word MASK_WORD carries validity
+MASK_WORD = CWP - 1
+
+SIGN_BIT = 30
+IDX_MASK = (1 << SIGN_BIT) - 1
+
+
+class StreamLayout(NamedTuple):
+    """Device arrays describing the slab layout (plan-program outputs).
+
+    nb_total = num_windows * h / LANES blocks; slabs are blocks' rounds
+    laid out consecutively (window-major, rank-major within block).
+    """
+
+    starts_rk: jnp.ndarray  # (nb_total, LANES) global segment starts, rank order
+    lens_rk: jnp.ndarray  # (nb_total, LANES) segment lengths, rank order
+    osl: jnp.ndarray  # (nb_total + 1,) slab offset per block (cumsum of Lb)
+    perm: jnp.ndarray  # (num_buckets,) kernel-lane position of bucket j
+    total_slabs: jnp.ndarray  # () total slab count (readback -> size class)
+
+
+def build_stream_layout(
+    starts: jnp.ndarray, lens: jnp.ndarray, num_windows: int
+) -> StreamLayout:
+    """Length-sorted block/slab layout from the bucket segment arrays.
+
+    starts/lens: (num_buckets,) window-major per-bucket segments into the
+    global sorted_vals array (ops/buckets.py:build_bucket_plan).
+    """
+    num_buckets = starts.shape[0]
+    h = num_buckets // num_windows
+    assert h % LANES == 0, (h, LANES)
+    nb_total = num_buckets // LANES
+
+    lens_w = lens.reshape(num_windows, h)
+    # per-window descending length sort; ranks index the kernel lanes
+    order = jnp.argsort(-lens_w, axis=1)  # (K, h) rank -> bucket slot
+    lens_rk = jnp.take_along_axis(lens_w, order, axis=1)
+    starts_rk = jnp.take_along_axis(
+        starts.reshape(num_windows, h), order, axis=1
+    )
+    # block round counts: max length in each 256-lane block (= first
+    # lane's length, since ranks are sorted descending)
+    lb = lens_rk.reshape(nb_total, LANES)[:, 0]
+    osl = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lb).astype(jnp.int32)]
+    )
+    # kernel-lane position of bucket (w, j): w*h + rank_w(j)
+    inv = (
+        jnp.zeros((num_windows, h), jnp.int32)
+        .at[
+            jnp.arange(num_windows, dtype=jnp.int32)[:, None],
+            order,
+        ]
+        .set(jnp.arange(h, dtype=jnp.int32)[None, :])
+    )
+    base = (jnp.arange(num_windows, dtype=jnp.int32) * h)[:, None]
+    return StreamLayout(
+        starts_rk=starts_rk.reshape(nb_total, LANES),
+        lens_rk=lens_rk.reshape(nb_total, LANES),
+        osl=osl,
+        perm=(inv + base).reshape(-1),
+        total_slabs=osl[-1],
+    )
+
+
+def slab_class(total_slabs: int, n: int) -> int:
+    """Static slab-count size class for a measured total.
+
+    Steps of max(64, n/256) slabs bound the gather/grid waste at ~6% of
+    the entry count while keeping the number of compiled classes per
+    (n, chunk) tiny (total_slabs concentrates around 1.03x the entry
+    count for random inputs)."""
+    step = max(64, n >> 8)
+    return max(step, -(-int(total_slabs) // step) * step)
+
+
+def build_signed_table(group, table: jnp.ndarray) -> jnp.ndarray:
+    """(C, W, N) Montgomery affine coord planes -> (2N + 8, CWP) signed
+    gather table.
+
+    Rows [0, N): positive-digit form; rows [N, 2N): negative form (G1:
+    -y; Edwards: -x, -t).  Row 2N is all-zero: gathered by every invalid
+    (lane, round) pair, its zero MASK_WORD disables the add.  All real
+    rows carry MASK_WORD = 1, so one gather yields data + sign + mask.
+    """
+    c, w, n = table.shape
+    if isinstance(group, EdwardsOps):
+        neg = jnp.stack(
+            [field_neg(group.ctx, table[0]), table[1],
+             field_neg(group.ctx, table[2])]
+        )
+    else:
+        neg = jnp.stack([table[0], field_neg(group.ctx, table[1])])
+    both = jnp.concatenate([table, neg], axis=2)  # (C, W, 2N)
+    rows = both.reshape(c * w, 2 * n).T  # (2N, C*W)
+    pad = jnp.zeros((2 * n, CWP - c * w - 1), jnp.uint32)
+    mask = jnp.ones((2 * n, 1), jnp.uint32)
+    full = jnp.concatenate([rows, pad, mask], axis=1)
+    return jnp.concatenate(
+        [full, jnp.zeros((8, CWP), jnp.uint32)], axis=0
+    )
+
+
+def gather_slabs(
+    signed_table: jnp.ndarray,
+    sorted_vals: jnp.ndarray,
+    layout: StreamLayout,
+    s_slabs: int,
+):
+    """Materialize the slab-stream array + kernel prefetch maps.
+
+    Returns (arr, outb, first, act): arr (CWP, s_slabs*LANES) transposed
+    slab stream; outb/first/act (s_slabs,) prefetch maps.  Slabs >=
+    total_slabs (the static-class tail) gather only the zero row, carry
+    act=0 so the kernel skips their adds entirely, and revisit the last
+    block (keeping output revisiting consecutive).
+    """
+    n = (signed_table.shape[0] - 8) // 2
+    nb_total = layout.starts_rk.shape[0]
+    zero_row = jnp.int32(2 * n)
+
+    sl = jnp.arange(s_slabs, dtype=jnp.int32)
+    active = sl < layout.total_slabs
+    # block id per slab: +1 at each block's first slab, cumsum
+    bid = (
+        jnp.zeros((s_slabs,), jnp.int32)
+        .at[layout.osl[1:]]
+        .add(1, mode="drop")
+        .cumsum()
+    )
+    bid = jnp.minimum(bid, nb_total - 1)
+    t = sl - jnp.take(layout.osl, bid)
+    first = ((t == 0) & active).astype(jnp.int32)
+    outb = jnp.where(active, bid, nb_total - 1)
+    act = active.astype(jnp.int32)
+
+    s_rows = jnp.take(layout.starts_rk, bid, axis=0)  # (s_slabs, LANES)
+    l_rows = jnp.take(layout.lens_rk, bid, axis=0)
+    valid = active[:, None] & (t[:, None] < l_rows)
+    src = s_rows + jnp.minimum(t[:, None], l_rows - 1)
+    sv = jnp.take(sorted_vals, jnp.where(valid, src, 0).reshape(-1))
+    idx = sv & IDX_MASK
+    neg = 1 - ((sv >> SIGN_BIT) & 1)  # sign_pos==1 -> positive form
+    idx2 = jnp.where(valid.reshape(-1), idx + neg * n, zero_row)
+    g = jnp.take(signed_table, idx2, axis=0)  # (s_slabs*LANES, CWP)
+    return g.T, outb, first, act
+
+
+def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w):
+    n_consts = 2 if group_cls.__name__ == "G1Ops" else 3
+
+    def kernel(*refs):
+        # [outb, first, act (prefetch)] [consts..., data] [outs...]
+        first_ref, act_ref = refs[1], refs[2]
+        const_vals = [r[...] for r in refs[3 : 3 + n_consts]]
+        data_ref = refs[3 + n_consts]
+        out_refs = refs[4 + n_consts : 4 + n_consts + n_coords]
+
+        kgroup = _rebuild_group(group_cls, ctx, const_vals)
+        i = pl.program_id(0)
+
+        @pl.when(act_ref[i] == 1)
+        def _():
+            first = first_ref[i]
+            slab = data_ref[...]  # (CWP, LANES)
+            aff = tuple(slab[c * w : (c + 1) * w] for c in range(n_aff))
+            m = slab[MASK_WORD : MASK_WORD + 1, :]  # (1, LANES) 0/1
+
+            zero = kgroup.zero((LANES,))
+            acc = tuple(
+                jnp.where(first == 1, z, o[...])
+                for z, o in zip(zero, out_refs)
+            )
+            new = kgroup.add_mixed(kgroup.Point(*acc), aff)
+            for o, nv, av in zip(out_refs, new, acc):
+                o[...] = jnp.where(m, nv, av)
+
+    return kernel
+
+
+def accumulate_buckets_streamed(
+    group,
+    arr: jnp.ndarray,
+    outb: jnp.ndarray,
+    first: jnp.ndarray,
+    act: jnp.ndarray,
+    nb_total: int,
+    interpret: bool = False,
+):
+    """Run the slab-stream kernel; returns the block-ordered bucket batch
+    (one lane per bucket, LENGTH-SORTED rank order — apply
+    StreamLayout.perm to address bucket (w, j))."""
+    ctx = group.ctx
+    w = ctx.num_words
+    n_aff = group.AFFINE_COORDS
+    n_coords = len(group.zero((1,)))
+    consts = _const_arrays(group)
+    s_slabs = outb.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # outb, first, act
+        grid=(s_slabs,),
+        in_specs=[
+            *[
+                pl.BlockSpec(
+                    (c.shape[0], 1),
+                    lambda i, outb, first, act: (0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for c in consts
+            ],
+            pl.BlockSpec(
+                (CWP, LANES), lambda i, outb, first, act: (0, i)
+            ),  # slab stream
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (w, LANES), lambda i, outb, first, act: (0, outb[i])
+            )
+            for _ in range(n_coords)
+        ),
+    )
+    kernel = _stream_kernel_body(type(group), ctx, n_coords, n_aff, w)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((w, nb_total * LANES), jnp.uint32)
+            for _ in range(n_coords)
+        ),
+        interpret=interpret,
+    )(
+        outb,
+        first,
+        act,
+        *[jnp.asarray(c) for c in consts],
+        arr,
+    )
+    return group.Point(*out)
+
+
+def permute_buckets(group, blocks, layout: StreamLayout):
+    """Block-ordered kernel output -> window-major bucket batch.
+
+    Row-gather formulation: transpose (w, B) -> (B, w), take perm rows,
+    transpose back — the minor-axis (column) gather form is ~4x slower.
+    Buckets in empty blocks (never visited by the kernel) are replaced
+    with the group identity via the per-bucket length mask.
+    """
+    coords = []
+    for c, z in zip(blocks, group.zero((1,))):
+        g = jnp.take(c.T, layout.perm, axis=0).T
+        coords.append(g)
+    # empty buckets -> identity (lens in window-major order)
+    lens_wm = jnp.take(
+        layout.lens_rk.reshape(-1), layout.perm
+    )  # per-bucket length
+    nonempty = (lens_wm > 0)[None, :]
+    fixed = [
+        jnp.where(nonempty, c, z[:, :1])
+        for c, z in zip(coords, group.zero((1,)))
+    ]
+    return group.Point(*fixed)
+
+
+def stream_supported(chunk_size: int, interpret: bool) -> bool:
+    """The streamed path needs >= LANES bucket lanes per window and a TPU
+    backend (or the interpreter)."""
+    h = 1 << (chunk_size - 1)
+    if h % LANES != 0:
+        return False
+    return interpret or _on_tpu()

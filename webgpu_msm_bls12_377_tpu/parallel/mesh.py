@@ -87,6 +87,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
                 P(AXIS),  # sorted_vals: per-chip slabs
                 P(AXIS, None),  # starts: (D, num_buckets)
                 P(AXIS, None),  # lens: (D, num_buckets)
+                P(AXIS, None),  # wmax: (D, num_windows) per-window maxima
             ),
             check_rep=False,
         )
@@ -101,11 +102,15 @@ class ShardedMsmEngine(CuzkMsmEngine):
                 scalar_words, chunk_size, num_windows
             )
             plan = build_bucket_plan(digits, chunk_size)
+            # per-window max on device: only D*num_windows ints go back to
+            # the host for round-class selection, not the full lens array
+            wmax = plan.lens.reshape(num_windows, -1).max(axis=1)
             return (
                 table_to_rows(table),
                 plan.sorted_vals,
                 plan.starts[None],
                 plan.lens[None],
+                wmax[None],
             )
 
         return plan_fn
@@ -179,10 +184,10 @@ class ShardedMsmEngine(CuzkMsmEngine):
         )
         n_pad = point_words.shape[-1]
         plan_fn = self._get_compiled("plan", chunk_size, n_pad)
-        table_rows, sorted_vals, starts, lens = plan_fn(pw, sw)
-        # window groups from the per-window max over ALL chips
-        h = 1 << (chunk_size - 1)
-        global_max = np.asarray(lens).reshape(d, num_windows, h).max(axis=(0, 2))
+        table_rows, sorted_vals, starts, lens, wmax = plan_fn(pw, sw)
+        # window groups from the per-window max over ALL chips — a
+        # D*num_windows-int readback, not the full lens array
+        global_max = np.asarray(wmax).max(axis=0)
         groups: dict[int, list[int]] = {}
         for w, m in enumerate(global_max):
             groups.setdefault(round_class(int(m)), []).append(w)
@@ -215,10 +220,10 @@ class ShardedMsmEngine(CuzkMsmEngine):
             self.num_bpr_threads,
             self.mesh.devices.size,
         )
-        if self.force_recompile or key not in self._compiled:
-            if kind == "plan":
-                fn = self._build_sharded_plan_fn(chunk_size)
-            else:
-                fn = self._build_sharded_main_fn(chunk_size, rounds, windows)
-            self._compiled[key] = jax.jit(fn)
-        return self._compiled[key]
+        if kind == "plan":
+            build = lambda: self._build_sharded_plan_fn(chunk_size)
+        else:
+            build = lambda: self._build_sharded_main_fn(
+                chunk_size, rounds, windows
+            )
+        return self._cache_get(key, build)
