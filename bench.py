@@ -42,7 +42,8 @@ def main():
                          "(permutation-blind check; default is distinct "
                          "points vs a pinned golden)")
     ap.add_argument("--smvp-mode", default="auto",
-                    choices=["auto", "legacy", "interpret"])
+                    choices=["auto", "stream", "fused", "legacy",
+                             "stream-interpret", "interpret"])
     ap.add_argument("--sharded", action="store_true",
                     help="shard over all local devices via the mesh engine")
     ap.add_argument("--profile", default=None, metavar="DIR",

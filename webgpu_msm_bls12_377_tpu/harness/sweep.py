@@ -6,6 +6,17 @@ num_runs timed warm runs; every result asserted against the expected
 value; emits a Markdown table and optional CSV
 (full_benchmarks.ts:14-16, 50-58, 128-160).
 
+Round-2 additions:
+- distinct-point inputs verified against the pinned golden registry by
+  default (testdata.make_bench_case; --same-point restores the round-1
+  all-generator protocol, AllBenchmarks.tsx:83-89);
+- a scaling-efficiency mode (--devices 1 2 4 8): runs the sharded mesh
+  engine at each device count and reports points/s/chip and efficiency
+  vs the single-device run — the BASELINE.json scaling metric.  On this
+  one-chip environment the D>1 rows run on a virtual CPU mesh (pass
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8);
+  the same harness runs unmodified on a real multi-chip slice.
+
 Run: python -m webgpu_msm_bls12_377_tpu.harness.sweep --powers 16 18 20
 """
 
@@ -21,10 +32,10 @@ from ..models.cuzk import CuzkMsmEngine, choose_chunk_size
 from ..ops.convert import ints_to_words
 from ..params import CurveId
 from ..reference import curve as ocurve
+from . import testdata
 
 
-def run_power(engine, curve, power, num_runs, rng_seed=42):
-    n = 1 << power
+def _same_point_inputs(curve, n, rng_seed=42):
     if curve == CurveId.BLS12_377:
         gx, gy = ocurve.g1_to_affine(ocurve.G1_GENERATOR)
         coord_words = 12
@@ -41,7 +52,33 @@ def run_power(engine, curve, power, num_runs, rng_seed=42):
     )
     scalar_words[7] &= 0x1FFFFFFF
 
-    chunk_size = choose_chunk_size(n)
+    total = int(
+        sum(
+            sum(int(scalar_words[i, j]) << (32 * i) for i in range(8))
+            for j in range(n)
+        )
+    )
+    if curve == CurveId.BLS12_377:
+        want = ocurve.g1_to_affine(
+            ocurve.g1_scalar_mult(ocurve.G1_GENERATOR, total)
+        )
+    else:
+        want = ocurve.ed_to_affine(
+            ocurve.ed_scalar_mult(ocurve.ED_GENERATOR, total)
+        )
+    return point_words, scalar_words, want
+
+
+def run_power(engine, curve, power, num_runs, same_point=False):
+    n = 1 << power
+    if same_point:
+        point_words, scalar_words, want = _same_point_inputs(curve, n)
+    else:
+        case = testdata.make_bench_case(curve, power)
+        point_words, scalar_words = case.point_words, case.scalar_words
+        want = case.expected
+
+    chunk_size = engine.chunk_size_override or choose_chunk_size(n)
 
     # stage inputs on-device once (as bench.py: the tunneled host->device
     # path is ~60 MB/s and would swamp the MSM itself)
@@ -64,17 +101,6 @@ def run_power(engine, curve, power, num_runs, rng_seed=42):
         result, dt = once()
         warm.append(dt)
 
-    # verify: all points are G, so expected = (sum k_i) * G
-    total = int(
-        sum(
-            sum(int(scalar_words[i, j]) << (32 * i) for i in range(8))
-            for j in range(n)
-        )
-    )
-    if curve == CurveId.BLS12_377:
-        want = ocurve.g1_to_affine(ocurve.g1_scalar_mult(ocurve.G1_GENERATOR, total))
-    else:
-        want = ocurve.ed_to_affine(ocurve.ed_scalar_mult(ocurve.ED_GENERATOR, total))
     ok = (result["x"], result["y"]) == want
 
     return {
@@ -86,10 +112,58 @@ def run_power(engine, curve, power, num_runs, rng_seed=42):
         "mean_with_cold_s": round(float(np.mean(warm + [cold_s])), 4),
         "points_per_s": round(n / float(np.mean(warm)), 1),
         "verified": ok,
+        "distinct_points": not same_point,
     }
 
 
+def run_scaling(curve, power, num_runs, device_counts, same_point=False):
+    """Sharded engine at each device count; efficiency vs the D=1 row.
+
+    efficiency(D) = throughput(D) / (D * throughput(1)) — the BASELINE
+    scaling metric (points/s/chip retention).
+    """
+    import jax
+
+    from ..parallel.mesh import ShardedMsmEngine, make_mesh
+
+    rows = []
+    base_tput = None
+    for d in device_counts:
+        devices = jax.devices()[:d]
+        if len(devices) < d:
+            rows.append({"devices": d, "skipped": "not enough devices"})
+            continue
+        engine = ShardedMsmEngine(curve, mesh=make_mesh(devices))
+        row = run_power(engine, curve, power, num_runs, same_point=same_point)
+        row["devices"] = d
+        tput = row["points_per_s"]
+        row["points_per_s_per_chip"] = round(tput / d, 1)
+        if base_tput is None:
+            base_tput = tput
+            row["efficiency"] = 1.0
+        else:
+            row["efficiency"] = round(tput / (d * base_tput), 3)
+        rows.append(row)
+    return rows
+
+
 def markdown_table(rows) -> str:
+    if rows and "devices" in rows[0]:
+        lines = [
+            "| devices | power | mean warm (s) | points/s | points/s/chip |"
+            " efficiency | verified |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for r in rows:
+            if "skipped" in r:
+                lines.append(f"| {r['devices']} | — skipped: {r['skipped']} |")
+                continue
+            lines.append(
+                f"| {r['devices']} | 2^{r['power']} | {r['mean_warm_s']} | "
+                f"{r['points_per_s']} | {r['points_per_s_per_chip']} | "
+                f"{r['efficiency']} | {r['verified']} |"
+            )
+        return "\n".join(lines)
     lines = [
         "| power | n | cold (s) | mean warm (s) | points/s | verified |",
         "|---|---|---|---|---|---|",
@@ -109,16 +183,33 @@ def main():
     ap.add_argument("--curve", default="bls12_377",
                     choices=["bls12_377", "edwards_bls12"])
     ap.add_argument("--csv", default=None)
+    ap.add_argument("--same-point", action="store_true",
+                    help="round-1 all-generator inputs (default: distinct "
+                         "points vs pinned goldens)")
+    ap.add_argument("--devices", type=int, nargs="+", default=None,
+                    help="scaling mode: run the sharded engine at these "
+                         "device counts and report efficiency")
     args = ap.parse_args()
 
     curve = (
         CurveId.BLS12_377 if args.curve == "bls12_377"
         else CurveId.EDWARDS_BLS12
     )
+    if args.devices:
+        rows = run_scaling(
+            curve, args.powers[0], args.runs, args.devices,
+            same_point=args.same_point,
+        )
+        for row in rows:
+            print(json.dumps(row), flush=True)
+        print(markdown_table(rows))
+        return
+
     engine = CuzkMsmEngine(curve)
     rows = []
     for power in args.powers:
-        row = run_power(engine, curve, power, args.runs)
+        row = run_power(engine, curve, power, args.runs,
+                        same_point=args.same_point)
         rows.append(row)
         print(json.dumps(row), flush=True)
     print(markdown_table(rows))

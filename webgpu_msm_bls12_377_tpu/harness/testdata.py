@@ -120,7 +120,7 @@ def points_from_ks(curve: CurveId, ks: Sequence[int]) -> list[tuple[int, int]]:
     ]
     if curve == CurveId.BLS12_377:
         return batch_to_affine(ocurve.P, cols[0], cols[1], cols[2])
-    return batch_to_affine(ocurve.ED_P, cols[0], cols[1], cols[3])
+    return batch_to_affine(ocurve.Q, cols[0], cols[1], cols[3])
 
 
 def batch_to_affine(
@@ -162,14 +162,17 @@ class BenchCase:
     oracle_checked: bool  # True if the native C++ oracle verified this case
 
 
-def load_goldens(path: str = GOLDEN_PATH) -> dict:
+def load_goldens(path: str | None = None) -> dict:
+    # GOLDEN_PATH resolved at call time so tests can monkeypatch it
+    path = path or GOLDEN_PATH
     if os.path.exists(path):
         with open(path) as f:
             return json.load(f)
     return {}
 
 
-def save_goldens(goldens: dict, path: str = GOLDEN_PATH) -> None:
+def save_goldens(goldens: dict, path: str | None = None) -> None:
+    path = path or GOLDEN_PATH
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(goldens, f, indent=1, sort_keys=True)
