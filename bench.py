@@ -29,6 +29,78 @@ import numpy as np
 BASELINE_POINTS_PER_SEC = 524288.0  # 2^20 points in ~2 s (see docstring)
 
 
+def bench_batch(args, curve, n, chunk_size, engine):
+    """Batched-pipelined MSM bench (BASELINE config 5: K x 2^20 batched).
+
+    Times compute_msm_batch's pipelined schedule (shared signed point
+    table, back-to-back async scalar plans, host finalize overlapped with
+    device compute) against K serial msm_device runs, verifying every
+    result against pinned known-k goldens.
+    """
+    import jax.numpy as jnp
+
+    from webgpu_msm_bls12_377_tpu.harness import testdata
+
+    power = int(np.log2(n))
+    assert (1 << power) == n, "--n must be a power of two in batch mode"
+    k = args.batch
+    case = testdata.make_batch_case(curve, power, k)
+    pw_dev = jnp.asarray(case.point_words)
+    sw_devs = [jnp.asarray(s) for s in case.scalar_sets]
+    np.asarray(pw_dev[0, 0, :1])
+    for s in sw_devs:
+        np.asarray(s[0, :1])  # fence staging
+
+    def serial():
+        t0 = time.perf_counter()
+        results = []
+        for sw in sw_devs:
+            coords = engine.msm_device(pw_dev, sw, chunk_size)
+            coords = tuple(np.asarray(c) for c in coords)
+            results.append(engine._finalize(coords, chunk_size))
+        return results, time.perf_counter() - t0
+
+    def batched():
+        t0 = time.perf_counter()
+        results = engine._msm_batch_stream(pw_dev, sw_devs, chunk_size)
+        return results, time.perf_counter() - t0
+
+    # cold (compile) passes first, then timed warm passes
+    res_b, _ = batched()
+    res_s, _ = serial()
+    warm_b = [batched()[1] for _ in range(args.runs)]
+    warm_s = [serial()[1] for _ in range(args.runs)]
+
+    if not args.no_check:
+        for res in (res_b, res_s):
+            for got, want in zip(res, case.expecteds):
+                assert (got["x"], got["y"]) == want, "batch MSM mismatch!"
+
+    tb, ts = float(np.mean(warm_b)), float(np.mean(warm_s))
+    throughput = k * n / tb
+    print(
+        json.dumps(
+            {
+                "metric": f"msm_batch{k}_throughput_2^{power}_{args.curve}",
+                "value": round(throughput, 1),
+                "unit": "points/s",
+                "vs_baseline": round(
+                    throughput / BASELINE_POINTS_PER_SEC, 3
+                ),
+                "detail": {
+                    "n": n,
+                    "batch": k,
+                    "batched_s": round(tb, 4),
+                    "serial_s": round(ts, 4),
+                    "speedup_vs_serial": round(ts / tb, 3),
+                    "runs": args.runs,
+                    "checked": not args.no_check,
+                },
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 20)
@@ -44,6 +116,11 @@ def main():
     ap.add_argument("--smvp-mode", default="auto",
                     choices=["auto", "stream", "fused", "legacy",
                              "stream-interpret", "interpret"])
+    ap.add_argument("--batch", type=int, default=0, metavar="K",
+                    help="batched-pipelined mode (BASELINE config 5): K "
+                         "scalar sets over one fixed point set; reports "
+                         "batch throughput and the speedup vs K serial "
+                         "runs")
     ap.add_argument("--sharded", action="store_true",
                     help="shard over all local devices via the mesh engine")
     ap.add_argument("--profile", default=None, metavar="DIR",
@@ -115,6 +192,9 @@ def main():
         engine = CuzkMsmEngine(
             curve, chunk_size=chunk_size, smvp_mode=args.smvp_mode
         )
+
+    if args.batch:
+        return bench_batch(args, curve, n, chunk_size, engine)
 
     # Stage inputs on-device once: this environment's TPU is behind a
     # tunnel moving ~60 MB/s, so per-run host->device transfer would

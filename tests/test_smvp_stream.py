@@ -133,6 +133,25 @@ def test_stream_engine_end_to_end(case):
     assert (got["x"], got["y"]) == want
 
 
+def test_stream_batch_pipeline(case):
+    """compute_msm_batch routes through the pipelined stream schedule
+    (shared signed table, split plan programs) and matches per-set
+    serial results."""
+    pts, scalars = case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    rng = random.Random("stream-batch")
+    sets = [
+        [rng.randrange(0, 1 << 253) for _ in range(N)] for _ in range(3)
+    ]
+    eng = CuzkMsmEngine(
+        CurveId.BLS12_377, chunk_size=CHUNK, smvp_mode="stream-interpret"
+    )
+    got = eng.compute_msm_batch(aff, sets)
+    for res, s in zip(got, sets):
+        want = crv.g1_to_affine(naive_msm(pts, s, G1))
+        assert (res["x"], res["y"]) == want
+
+
 def test_stream_engine_edwards(case):
     """Edwards curve through the streamed path (3 affine coords)."""
     rng = random.Random("stream-ed")

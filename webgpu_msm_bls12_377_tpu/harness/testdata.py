@@ -265,6 +265,94 @@ def make_bench_case(
     )
 
 
+@dataclasses.dataclass
+class BatchCase:
+    """Fixed point set + many scalar sets, each with a pinned expected
+    result (the batched-MSM bench protocol, BASELINE config 5)."""
+
+    curve: CurveId
+    point_words: np.ndarray
+    scalar_sets: list[np.ndarray]  # each (8, n) uint32
+    expecteds: list[tuple[int, int]]
+
+
+def make_batch_case(
+    curve: CurveId,
+    power: int,
+    num_sets: int,
+    seed: str | None = None,
+    cache_dir: str = DATA_DIR,
+) -> BatchCase:
+    """num_sets scalar sets over the make_bench_case point set.
+
+    Each set's expected value comes from the known-k identity
+    (sum_j s_ij*k_j mod q)*G — the k_j are re-derived from the bench
+    case's deterministic seed stream — and is pinned into the golden
+    registry under ``{tag}:{power}:{seed}:batch{i}``.  Scalar payloads
+    are cached as one .npz.
+    """
+    n = 1 << power
+    seed = seed or f"bench-{power}"
+    tag = curve.value
+    order = curve_order(curve)
+    base = make_bench_case(curve, power, seed=seed, cache_dir=cache_dir)
+
+    # same stream as make_bench_case -> the same k_j
+    rng = random.Random(f"{seed}-{tag}")
+    ks = [rng.randrange(1, order) for _ in range(n)]
+
+    npz_path = os.path.join(
+        cache_dir, f"batch-{tag}-{power}-{seed}-{num_sets}.npz"
+    )
+    rng_b = random.Random(f"{seed}-{tag}-batch")
+    scalar_lists = [
+        [rng_b.randrange(0, 1 << 253) for _ in range(n)]
+        for _ in range(num_sets)
+    ]
+    if os.path.exists(npz_path):
+        blob = np.load(npz_path)
+        scalar_sets = [blob[f"s{i}"] for i in range(num_sets)]
+    else:
+        scalar_sets = [
+            np.asarray(ints_to_words(sc, 8)) for sc in scalar_lists
+        ]
+        np.savez_compressed(
+            npz_path, **{f"s{i}": s for i, s in enumerate(scalar_sets)}
+        )
+
+    goldens = load_goldens()
+    expecteds = []
+    dirty = False
+    for i, sc in enumerate(scalar_lists):
+        key = f"{tag}:{power}:{seed}:batch{i}"
+        if key in goldens:
+            expecteds.append(tuple(int(v, 16) for v in goldens[key]))
+            continue
+        t = 0
+        for s, k in zip(sc, ks):
+            t += s * k
+        t %= order
+        if curve == CurveId.BLS12_377:
+            exp = ocurve.g1_to_affine(
+                ocurve.g1_scalar_mult(ocurve.G1_GENERATOR, t)
+            )
+        else:
+            exp = ocurve.ed_to_affine(
+                ocurve.ed_scalar_mult(ocurve.ED_GENERATOR, t)
+            )
+        goldens[key] = [hex(exp[0]), hex(exp[1])]
+        expecteds.append(exp)
+        dirty = True
+    if dirty:
+        save_goldens(goldens)
+    return BatchCase(
+        curve=curve,
+        point_words=base.point_words,
+        scalar_sets=scalar_sets,
+        expecteds=expecteds,
+    )
+
+
 def _native_cross_check(
     curve: CurveId, point_words: np.ndarray, scalar_words: np.ndarray,
     expected: tuple[int, int],

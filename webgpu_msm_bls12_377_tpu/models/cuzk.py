@@ -307,6 +307,89 @@ class CuzkMsmEngine:
 
         return main_fn
 
+    # Split stream programs for the batched pipeline: the signed point
+    # table depends only on the (fixed) points, so a batch builds it once;
+    # per-scalar-set work is decompose/sort/layout only.
+
+    def _build_stream_pprep_fn(self):
+        ctx = self.ctx
+        group = self.group
+        is_edwards = isinstance(self.group, EdwardsOps)
+
+        def pprep_fn(point_words):
+            xm = u32_words_to_limbs_mont(ctx, point_words[0])
+            ym = u32_words_to_limbs_mont(ctx, point_words[1])
+            if is_edwards:
+                table = jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
+            else:
+                table = jnp.stack([xm, ym])
+            return build_signed_table(group, table)
+
+        return pprep_fn
+
+    def _build_stream_splan_fn(self, chunk_size: int):
+        num_windows = SCALAR_BITS // chunk_size
+
+        def splan_fn(scalar_words):
+            digits = decompose_scalars_signed(
+                scalar_words, chunk_size, num_windows
+            )
+            plan = build_bucket_plan(digits, chunk_size)
+            layout = build_stream_layout(plan.starts, plan.lens, num_windows)
+            return plan.sorted_vals, layout
+
+        return splan_fn
+
+    def _msm_batch_stream(
+        self, point_words, scalar_words_list, chunk_size: int
+    ) -> list[dict[str, int]]:
+        """Pipelined batched MSM over a fixed point set (stream path).
+
+        The reference reuses uploaded point buffers across benchmark runs;
+        here the pipeline overlap is the TPU-native analogue of queueing
+        multiple command submissions: every dispatch is async until a host
+        readback, so the schedule below keeps the device busy end-to-end:
+
+          1. signed point table: built ONCE for the whole batch;
+          2. all scalar plans enqueued back-to-back (no host sync between);
+          3. per set: the one-int total_slabs readback (set i's readback
+             overlaps sets i+1..'s plan execution), then the main program
+             enqueued;
+          4. results fetched and Horner-folded after everything is queued,
+             so host finalize of set i overlaps device compute of i+1...
+        """
+        n = point_words.shape[-1]
+        interp = self.smvp_mode == "stream-interpret"
+        pprep_fn = self._cache_get(
+            (self.curve, "spprep", n),
+            lambda: self._build_stream_pprep_fn(),
+        )
+        splan_fn = self._cache_get(
+            (self.curve, "ssplan", chunk_size, n),
+            lambda: self._build_stream_splan_fn(chunk_size),
+        )
+        signed_table = pprep_fn(jnp.asarray(point_words))
+        plans = [splan_fn(jnp.asarray(sw)) for sw in scalar_words_list]
+        coords_batch = []
+        for sorted_vals, layout in plans:
+            s_slabs = slab_class(int(np.asarray(layout.total_slabs)), n)
+            main_fn = self._cache_get(
+                (
+                    self.curve, "smain", chunk_size, n, s_slabs,
+                    self.num_bpr_threads, interp,
+                ),
+                lambda: self._build_stream_main_fn(
+                    chunk_size, s_slabs, interp
+                ),
+            )
+            coords_batch.append(main_fn(signed_table, sorted_vals, layout))
+        return [
+            self._finalize(
+                tuple(np.asarray(c) for c in coords), chunk_size
+            )
+            for coords in coords_batch
+        ]
+
     def _msm_device_stream(self, point_words, scalar_words, chunk_size: int):
         n = point_words.shape[-1]
         interp = self.smvp_mode == "stream-interpret"
@@ -509,15 +592,21 @@ class CuzkMsmEngine:
         cache; per-set work re-runs the (cheap, fused) point conversion.
         """
         point_words = self._prepare_points(points)
+        n = point_words.shape[-1]
+        chunk_size = self.chunk_size_override or choose_chunk_size(n)
+        if self._select_smvp(chunk_size, n) == "stream":
+            sws = []
+            for scalars in scalars_batch:
+                sw = self._prepare_scalars(scalars)
+                self._validate(n, sw)
+                sws.append(sw)
+            return self._msm_batch_stream(point_words, sws, chunk_size)
         return [
             self.compute_msm(point_words, scalars)
             for scalars in scalars_batch
         ]
 
-    def compute_msm(self, points: Any, scalars: Any) -> dict[str, int]:
-        point_words = self._prepare_points(points)
-        scalar_words = self._prepare_scalars(scalars)
-        n = point_words.shape[-1]
+    def _validate(self, n: int, scalar_words: np.ndarray) -> None:
         if scalar_words.shape[-1] != n:
             raise ValueError(
                 f"point/scalar count mismatch: {n} vs {scalar_words.shape[-1]}"
@@ -533,6 +622,12 @@ class CuzkMsmEngine:
                 "scalar out of range: wire scalars must be < 2^253 "
                 "(canonical BLS12-377 scalar field elements)"
             )
+
+    def compute_msm(self, points: Any, scalars: Any) -> dict[str, int]:
+        point_words = self._prepare_points(points)
+        scalar_words = self._prepare_scalars(scalars)
+        n = point_words.shape[-1]
+        self._validate(n, scalar_words)
         chunk_size = self.chunk_size_override or choose_chunk_size(n)
         coords = self.msm_device(point_words, scalar_words, chunk_size)
         return self._finalize(coords, chunk_size)
