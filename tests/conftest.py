@@ -8,12 +8,18 @@ happen before jax is imported anywhere.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# MSM_TEST_TPU=1 leaves the real TPU backend registered so the tpu-marked
+# tests (tests/test_tpu_kernels.py) can run compiled Mosaic kernels:
+#   MSM_TEST_TPU=1 python -m pytest tests -m tpu
+_USE_TPU = os.environ.get("MSM_TEST_TPU", "") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # Make the repo root importable regardless of how pytest is invoked.
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -25,16 +31,18 @@ if _REPO_ROOT not in sys.path:
 # be pinned programmatically (env vars alone are NOT honored here).
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite's cost is dominated by XLA CPU
-# compiles of the same pipeline programs in every pytest process; caching
-# them on disk makes re-runs start fast (VERDICT round-1 weak #8).
-jax.config.update(
-    "jax_compilation_cache_dir", os.path.join(_REPO_ROOT, ".jax_cache_cpu")
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # Persistent compilation cache: the suite's cost is dominated by XLA CPU
+    # compiles of the same pipeline programs in every pytest process; caching
+    # them on disk makes re-runs start fast (VERDICT round-1 weak #8).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(_REPO_ROOT, ".jax_cache_cpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import random
 

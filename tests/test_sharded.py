@@ -62,3 +62,28 @@ def test_sharded_edwards():
     got = eng.compute_msm(aff, ks)
     want = crv.ed_to_affine(naive_msm(pts, ks, EDWARDS))
     assert (got["x"], got["y"]) == want
+
+
+def test_sharded_stream_matches_oracle(monkeypatch):
+    """Sharded streamed-SMVP path (interpret mode) on the 8-device mesh:
+    per-chip slab kernels + replicated smax readback + all_gather tree."""
+    from webgpu_msm_bls12_377_tpu.ops import smvp_stream as ss
+
+    monkeypatch.setattr(ss, "LANES", 8)
+    rng = random.Random("sharded-stream")
+    n = 64
+    pts = [
+        crv.g1_scalar_mult(crv.G1_GENERATOR, rng.randrange(1, 1 << 64))
+        for _ in range(n)
+    ]
+    aff = [crv.g1_to_affine(p) for p in pts]
+    ks = [rng.randrange(0, 1 << 253) for _ in range(n)]
+
+    mesh = make_mesh(jax.devices()[:8])
+    eng = ShardedMsmEngine(
+        CurveId.BLS12_377, mesh=mesh, chunk_size=4, num_bpr_threads=8,
+        smvp_mode="stream-interpret",
+    )
+    got = eng.compute_msm(aff, ks)
+    want = crv.g1_to_affine(naive_msm(pts, ks, G1))
+    assert (got["x"], got["y"]) == want

@@ -94,17 +94,66 @@ def run(curve: CurveId, lanes: int, iters: int):
     return out
 
 
+def limb_study(curve: CurveId, lanes: int, iters: int, chain: int = 16):
+    """Device limb-width study: mont_mul at w in {12..15}.
+
+    Redoes the reference's word-size shader study (README.md:386-430) for
+    the TPU VPU.  Each timing runs ``chain`` dependent Montgomery products
+    inside ONE jitted program (z <- mont_mul(z, y): serialized, un-CSE-able)
+    and divides out the chain length, so this platform's ~25-30 ms
+    dispatch+readback floor pollutes the number by <1% instead of
+    dominating it (see PERF.md on round-1's floor-polluted gather figure).
+    """
+    key = np.random.RandomState(7)
+    rows = {
+        "curve": curve.value,
+        "lanes": lanes,
+        "chain": chain,
+        "device": jax.devices()[0].platform,
+        "widths": {},
+    }
+    for word_size in (12, 13, 14, 15):
+        ctx = dfield.field_ctx(curve, word_size=word_size)
+        w = ctx.num_words
+        mk = lambda: jnp.asarray(
+            key.randint(0, ctx.mask + 1, (w, lanes)).astype(np.uint32)
+        )
+        x, y = mk(), mk()
+
+        def chained(a, b):
+            z = a
+            for _ in range(chain):
+                z = dfield.mont_mul(ctx, z, b)
+            return z
+
+        dt = _time(jax.jit(chained), (x, y), iters) / chain
+        rows["widths"][word_size] = {
+            "num_words": w,
+            "carry_free": ctx.params.nsafe >= w,
+            "ms": round(dt * 1000, 3),
+            "M_mont_per_s": round(lanes / dt / 1e6, 2),
+            "ns_per_lane": round(dt / lanes * 1e9, 3),
+        }
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lanes", type=int, default=1 << 19)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--curve", default="bls12_377",
                     choices=["bls12_377", "edwards_bls12"])
+    ap.add_argument("--limb-study", action="store_true",
+                    help="mont_mul word-size study (w=12..15), "
+                         "floor-corrected chained timing")
     args = ap.parse_args()
     curve = (
         CurveId.BLS12_377 if args.curve == "bls12_377"
         else CurveId.EDWARDS_BLS12
     )
+    if args.limb_study:
+        print(json.dumps(limb_study(curve, args.lanes, args.iters), indent=2))
+        return
     print(json.dumps(run(curve, args.lanes, args.iters), indent=2))
 
 

@@ -370,9 +370,14 @@ class CuzkMsmEngine:
         )
         signed_table = pprep_fn(jnp.asarray(point_words))
         plans = [splan_fn(jnp.asarray(sw)) for sw in scalar_words_list]
+        # ONE host sync for all slab counts (a per-set readback would pay
+        # this platform's ~25-30 ms dispatch+readback floor K times)
+        all_slabs = np.asarray(
+            jnp.stack([layout.total_slabs for _, layout in plans])
+        )
         coords_batch = []
-        for sorted_vals, layout in plans:
-            s_slabs = slab_class(int(np.asarray(layout.total_slabs)), n)
+        for (sorted_vals, layout), total_slabs in zip(plans, all_slabs):
+            s_slabs = slab_class(int(total_slabs), n)
             main_fn = self._cache_get(
                 (
                     self.curve, "smain", chunk_size, n, s_slabs,
@@ -383,11 +388,11 @@ class CuzkMsmEngine:
                 ),
             )
             coords_batch.append(main_fn(signed_table, sorted_vals, layout))
+        # one transfer for every set's (tiny) window sums, then host Horner
+        host_coords = jax.device_get(coords_batch)
         return [
-            self._finalize(
-                tuple(np.asarray(c) for c in coords), chunk_size
-            )
-            for coords in coords_batch
+            self._finalize(tuple(np.asarray(c) for c in coords), chunk_size)
+            for coords in host_coords
         ]
 
     def _msm_device_stream(self, point_words, scalar_words, chunk_size: int):

@@ -307,6 +307,19 @@ def mont_mul(
     w, mask = ctx.word_size, ctx.mask
     n = ctx.num_words
     n0 = jnp.uint32(ctx.params.n0)
+    # Word sizes above 13 lose the carry-free guarantee (nsafe < n): fold
+    # the accumulated carries back into w-bit limbs every step — the
+    # lockstep analogue of mont_pro_modified's periodic carries
+    # (mont_pro_modified.template.wgsl:27-95, reference/mont.py:135-168).
+    # Post-fold limbs are < 2^w + 2^(32-w), so one fold per step keeps
+    # every w <= 15 accumulation in u32 (w=16 overflows on a single
+    # product pair and stays unusable in 32-bit lanes, as the reference
+    # found; README.md:386-430).
+    fold_every_step = ctx.params.nsafe < n
+    assert w <= 15, (
+        f"word_size={w} overflows u32 accumulation: one product pair "
+        f"2*(2^{w}-1)^2 already exceeds 2^32"
+    )
 
     batch = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])
     # The x operand is sliced limb-by-limb; slicing a broadcast of a
@@ -336,6 +349,8 @@ def mont_mul(
         prod = xi[None] * yfull + qi[None] * pfull
         c_pad = jnp.concatenate([c[None], zero_rest], axis=0)
         s2 = jnp.concatenate([s[1:] + prod[1:], zero_row], axis=0) + c_pad
+        if fold_every_step:
+            s2 = (s2 & mask) + _shift_up(s2 >> w)
         return s2, None
 
     if ctx.unroll_mont:
@@ -351,6 +366,8 @@ def mont_mul(
             prod = xi * yfull + qi * pfull
             c_pad = jnp.concatenate([c, zero_rest], axis=0)
             s = jnp.concatenate([s[1:] + prod[1:], zero_row], axis=0) + c_pad
+            if fold_every_step:
+                s = (s & mask) + _shift_up(s >> w)
     else:
         s, _ = jax.lax.scan(body, s0, xs, unroll=unroll)
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.cuzk import SCALAR_BITS, CuzkMsmEngine, choose_chunk_size
 from ..ops.bpr import reduce_buckets
@@ -48,6 +48,15 @@ from ..ops.convert import u32_words_to_limbs_mont
 from ..ops.decompose import decompose_scalars_signed
 from ..ops.field import from_mont, mont_mul
 from ..ops.curve import EdwardsOps
+from ..ops import smvp_stream
+from ..ops.smvp_stream import (
+    accumulate_buckets_streamed,
+    build_signed_table,
+    build_stream_layout,
+    gather_slabs,
+    permute_buckets,
+    slab_class,
+)
 
 
 AXIS = "points"
@@ -87,9 +96,9 @@ class ShardedMsmEngine(CuzkMsmEngine):
                 P(AXIS),  # sorted_vals: per-chip slabs
                 P(AXIS, None),  # starts: (D, num_buckets)
                 P(AXIS, None),  # lens: (D, num_buckets)
-                P(AXIS, None),  # wmax: (D, num_windows) per-window maxima
+                P(None),  # wmax: (num_windows,) global maxima, replicated
             ),
-            check_rep=False,
+            check_vma=False,
         )
         def plan_fn(point_words, scalar_words):
             xm = u32_words_to_limbs_mont(ctx, point_words[0])
@@ -102,15 +111,18 @@ class ShardedMsmEngine(CuzkMsmEngine):
                 scalar_words, chunk_size, num_windows
             )
             plan = build_bucket_plan(digits, chunk_size)
-            # per-window max on device: only D*num_windows ints go back to
-            # the host for round-class selection, not the full lens array
+            # per-window global max on device: the only plan->main host
+            # sync is num_windows ints, REPLICATED over the mesh (a pmax
+            # over ICI/DCN) so multi-host processes can all read it —
+            # never the full lens array
             wmax = plan.lens.reshape(num_windows, -1).max(axis=1)
+            wmax = jax.lax.pmax(wmax, AXIS)
             return (
                 table_to_rows(table),
                 plan.sorted_vals,
                 plan.starts[None],
                 plan.lens[None],
-                wmax[None],
+                wmax,
             )
 
         return plan_fn
@@ -136,7 +148,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
                 P(AXIS, None),
             ),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
         def main_fn(table_rows, sorted_vals, starts, lens):
             plan = BucketPlan(
@@ -162,6 +174,166 @@ class ShardedMsmEngine(CuzkMsmEngine):
 
         return main_fn
 
+    # -- sharded streamed-SMVP pipeline --------------------------------------
+    #
+    # Data-parallel over points: every chip runs the full slab-stream
+    # pipeline (ops/smvp_stream.py) on its local shard; only the
+    # per-window partial sums cross chips (all_gather + tree add), plus
+    # one replicated slab-count scalar for the static size class.
+
+    def _build_sharded_stream_plan_fn(self, chunk_size: int):
+        ctx = self.ctx
+        group = self.group
+        mesh = self.mesh
+        num_windows = SCALAR_BITS // chunk_size
+        is_edwards = isinstance(self.group, EdwardsOps)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(None, None, AXIS), P(None, AXIS)),
+            out_specs=(
+                P(AXIS),  # signed table rows: (2n+8, CWP) per chip
+                P(AXIS),  # sorted_vals
+                (
+                    P(AXIS, None),  # starts_rk (nb, LANES)
+                    P(AXIS, None),  # lens_rk
+                    P(AXIS),  # osl (nb+1,)
+                    P(AXIS),  # perm (num_buckets,)
+                    P(AXIS),  # total_slabs (1,) per chip
+                ),
+                P(),  # max slab count (scalar), replicated (the one readback)
+            ),
+            check_vma=False,
+        )
+        def plan_fn(point_words, scalar_words):
+            xm = u32_words_to_limbs_mont(ctx, point_words[0])
+            ym = u32_words_to_limbs_mont(ctx, point_words[1])
+            if is_edwards:
+                table = jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
+            else:
+                table = jnp.stack([xm, ym])
+            digits = decompose_scalars_signed(
+                scalar_words, chunk_size, num_windows
+            )
+            plan = build_bucket_plan(digits, chunk_size)
+            layout = build_stream_layout(plan.starts, plan.lens, num_windows)
+            smax = jax.lax.pmax(layout.total_slabs, AXIS)
+            lay_tuple = (
+                layout.starts_rk,
+                layout.lens_rk,
+                layout.osl,
+                layout.perm,
+                layout.total_slabs[None],
+            )
+            return (
+                build_signed_table(group, table),
+                plan.sorted_vals,
+                lay_tuple,
+                smax,
+            )
+
+        return plan_fn
+
+    def _build_sharded_stream_main_fn(
+        self, chunk_size: int, s_slabs: int, interpret: bool = False
+    ):
+        ctx = self.ctx
+        group = self.group
+        mesh = self.mesh
+        num_windows = SCALAR_BITS // chunk_size
+        nb_total = num_windows * (1 << (chunk_size - 1)) // smvp_stream.LANES
+        bpr_threads = self.num_bpr_threads
+        n_dev = mesh.devices.size
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(AXIS),
+                P(AXIS),
+                (P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS), P(AXIS)),
+            ),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def main_fn(signed_table, sorted_vals, lay_tuple):
+            starts_rk, lens_rk, osl, perm, total = lay_tuple
+            layout = smvp_stream.StreamLayout(
+                starts_rk=starts_rk,
+                lens_rk=lens_rk,
+                osl=osl,
+                perm=perm,
+                total_slabs=total[0],
+            )
+            arr, outb, first, act = gather_slabs(
+                signed_table, sorted_vals, layout, s_slabs
+            )
+            blocks = accumulate_buckets_streamed(
+                group, arr, outb, first, act, nb_total, interpret=interpret
+            )
+            buckets = permute_buckets(group, blocks, layout)
+            wsums = reduce_buckets(
+                group, buckets, num_windows, chunk_size, bpr_threads
+            )
+            stacked = jnp.stack(list(wsums))
+            gathered = jax.lax.all_gather(stacked, AXIS)  # (D, C, W, K)
+            acc = type(wsums)(*(gathered[0, c] for c in range(len(wsums))))
+            for d in range(1, n_dev):
+                other = type(wsums)(
+                    *(gathered[d, c] for c in range(len(wsums)))
+                )
+                acc = group.add(acc, other)
+            return jnp.stack([from_mont(ctx, c) for c in acc])
+
+        return main_fn
+
+    def _msm_device_sharded_stream(
+        self, point_words, scalar_words, chunk_size: int
+    ):
+        n = point_words.shape[-1]
+        d = self.mesh.devices.size
+        interp = self.smvp_mode == "stream-interpret"
+        plan_fn = self._cache_get(
+            ("sharded", self.curve, "splan", chunk_size, n, d),
+            lambda: self._build_sharded_stream_plan_fn(chunk_size),
+        )
+        pw = self._put(point_words, P(None, None, AXIS))
+        sw = self._put(scalar_words, P(None, AXIS))
+        signed_table, sorted_vals, lay_tuple, smax = plan_fn(pw, sw)
+        s_slabs = slab_class(int(np.asarray(smax)), n // d)
+        main_fn = self._cache_get(
+            (
+                "sharded", self.curve, "smain", chunk_size, n, d, s_slabs,
+                self.num_bpr_threads, interp,
+            ),
+            lambda: self._build_sharded_stream_main_fn(
+                chunk_size, s_slabs, interp
+            ),
+        )
+        coords = main_fn(signed_table, sorted_vals, lay_tuple)
+        out = np.asarray(coords)  # (C, W, num_windows), replicated
+        return tuple(out[c] for c in range(out.shape[0]))
+
+    def _put(self, host_array, spec: P):
+        """Host array -> global device array sharded over the mesh.
+
+        Single-process: a plain device_put.  Multi-process (multi-host
+        pod slice): every process holds the same full host array and
+        contributes only its addressable shards, via
+        make_array_from_callback — the standard multihost input path.
+        """
+        sharding = NamedSharding(self.mesh, spec)
+        if jax.process_count() == 1:
+            # keep already-staged device arrays on device (the bench path
+            # stages inputs once; a host round-trip here would ride the
+            # ~60 MB/s tunnel)
+            return jax.device_put(jnp.asarray(host_array), sharding)
+        arr = np.asarray(host_array)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
     def msm_device(self, point_words, scalar_words, chunk_size: int):
         n = point_words.shape[-1]
         d = self.mesh.devices.size
@@ -175,19 +347,18 @@ class ShardedMsmEngine(CuzkMsmEngine):
             scalar_words = np.concatenate(
                 [scalar_words, np.zeros((8, pad), np.uint32)], axis=-1
             )
-        pw = jax.device_put(
-            jnp.asarray(point_words),
-            NamedSharding(self.mesh, P(None, None, AXIS)),
-        )
-        sw = jax.device_put(
-            jnp.asarray(scalar_words), NamedSharding(self.mesh, P(None, AXIS))
-        )
+        if self._select_smvp(chunk_size, n) in ("stream",):
+            return self._msm_device_sharded_stream(
+                point_words, scalar_words, chunk_size
+            )
+        pw = self._put(point_words, P(None, None, AXIS))
+        sw = self._put(scalar_words, P(None, AXIS))
         n_pad = point_words.shape[-1]
         plan_fn = self._get_compiled("plan", chunk_size, n_pad)
         table_rows, sorted_vals, starts, lens, wmax = plan_fn(pw, sw)
-        # window groups from the per-window max over ALL chips — a
-        # D*num_windows-int readback, not the full lens array
-        global_max = np.asarray(wmax).max(axis=0)
+        # window groups from the replicated per-window global max — a
+        # num_windows-int readback, not the full lens array
+        global_max = np.asarray(wmax)
         groups: dict[int, list[int]] = {}
         for w, m in enumerate(global_max):
             groups.setdefault(round_class(int(m)), []).append(w)
