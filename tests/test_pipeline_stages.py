@@ -198,3 +198,25 @@ def test_full_window_reconstruction(case, device_buckets):
     got = omsm.horner(to_oracle_points(wsums), CHUNK, omsm.G1)
     want = omsm.naive_msm(pts, scalars, omsm.G1)
     assert ocurve.g1_eq(got, want)
+
+
+def test_segment_bounds_matches_searchsorted():
+    """segment_bounds == searchsorted(sorted_keys, arange(B+1)) on random,
+    clustered, and edge-shaped inputs (incl. non-multiple-of-stride)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for m, b in [(1024, 64), (1000, 64), (33, 8), (1, 4), (4096, 4096)]:
+        keys = np.sort(rng.integers(0, b, size=m)).astype(np.int32)
+        cases.append((keys, b))
+    # clustered: all keys equal / empty buckets at both ends
+    cases.append((np.full(512, 5, np.int32), 16))
+    cases.append((np.zeros(100, np.int32), 8))
+    cases.append((np.full(100, 7, np.int32), 8))
+    for keys, b in cases:
+        got = np.asarray(
+            jax.jit(lambda k: dbuck.segment_bounds(jnp.asarray(k), b))(keys)
+        )
+        want = np.searchsorted(keys, np.arange(b + 1), side="left")
+        assert got.tolist() == want.tolist(), (len(keys), b)

@@ -91,27 +91,27 @@ def build_stream_layout(
     nb_total = num_buckets // LANES
 
     lens_w = lens.reshape(num_windows, h)
-    # per-window descending length sort; ranks index the kernel lanes
-    order = jnp.argsort(-lens_w, axis=1)  # (K, h) rank -> bucket slot
-    lens_rk = jnp.take_along_axis(lens_w, order, axis=1)
-    starts_rk = jnp.take_along_axis(
-        starts.reshape(num_windows, h), order, axis=1
+    # per-window descending length sort; ranks index the kernel lanes.
+    # ONE multi-operand lax.sort yields the sorted lens, the rank->slot
+    # permutation AND the rank-ordered starts together (argsort +
+    # 2x take_along_axis measured ~3x slower as separate ops on v5e).
+    iota = jax.lax.broadcasted_iota(jnp.int32, (num_windows, h), 1)
+    neg_sorted, order, starts_rk = jax.lax.sort(
+        (-lens_w, iota, starts.reshape(num_windows, h)),
+        dimension=1,
+        num_keys=1,
     )
+    lens_rk = -neg_sorted
     # block round counts: max length in each 256-lane block (= first
     # lane's length, since ranks are sorted descending)
     lb = lens_rk.reshape(nb_total, LANES)[:, 0]
     osl = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(lb).astype(jnp.int32)]
     )
-    # kernel-lane position of bucket (w, j): w*h + rank_w(j)
-    inv = (
-        jnp.zeros((num_windows, h), jnp.int32)
-        .at[
-            jnp.arange(num_windows, dtype=jnp.int32)[:, None],
-            order,
-        ]
-        .set(jnp.arange(h, dtype=jnp.int32)[None, :])
-    )
+    # kernel-lane position of bucket (w, j): w*h + rank_w(j).  The inverse
+    # of a permutation is its argsort, fused into one 2-operand sort
+    # (beats the equivalent 524k-element scatter and a separate argsort).
+    _, inv = jax.lax.sort((order, iota), dimension=1, num_keys=1)
     base = (jnp.arange(num_windows, dtype=jnp.int32) * h)[:, None]
     return StreamLayout(
         starts_rk=starts_rk.reshape(nb_total, LANES),
