@@ -6,6 +6,7 @@ models with explicit uint32 wraparound.
 """
 
 import functools
+import random
 
 import numpy as np
 import pytest
@@ -177,3 +178,116 @@ def test_barrett_vs_mont_entry():
     )
     via_mont = np.asarray(jop(curve, 'to_mont')(a))
     assert via_barrett.tolist() == via_mont.tolist()
+
+
+class TestLazyDomain:
+    """Lazy (redundant) field ops: exact mod-p semantics, limb canonicity,
+    and bound contracts (ops/field.py lazy_*, field_canon)."""
+
+    def _ctx(self):
+        from webgpu_msm_bls12_377_tpu.ops import field as dfield
+        from webgpu_msm_bls12_377_tpu.params import CurveId
+
+        return dfield, dfield.field_ctx(CurveId.BLS12_377)
+
+    def _vals(self, ctx, ints):
+        from webgpu_msm_bls12_377_tpu.reference.limbs import to_words_le
+
+        cols = [to_words_le(v, ctx.num_words, ctx.word_size) for v in ints]
+        return jnp.asarray(np.array(cols, dtype=np.uint32).T)
+
+    def _back(self, ctx, arr):
+        from webgpu_msm_bls12_377_tpu.reference.limbs import (
+            from_words_le_unchecked,
+        )
+
+        a = np.asarray(arr)
+        return [
+            from_words_le_unchecked(a[:, j].tolist(), ctx.word_size)
+            for j in range(a.shape[1])
+        ]
+
+    def test_lazy_add_sub_triple_exact(self):
+        dfield, ctx = self._ctx()
+        p = ctx.params.p
+        rng = random.Random(5)
+        xs = [rng.randrange(0, 4 * p) for _ in range(8)]
+        ys = [rng.randrange(0, 4 * p) for _ in range(8)]
+        xa, ya = self._vals(ctx, xs), self._vals(ctx, ys)
+        add = jax.jit(lambda a, b: dfield.lazy_add(ctx, a, b))(xa, ya)
+        assert self._back(ctx, add) == [x + y for x, y in zip(xs, ys)]
+        tri = jax.jit(lambda a: dfield.lazy_triple(ctx, a))(xa)
+        assert self._back(ctx, tri) == [3 * x for x in xs]
+        sub = jax.jit(lambda a, b: dfield.lazy_sub(ctx, a, b, 4))(xa, ya)
+        assert self._back(ctx, sub) == [x + 4 * p - y for x, y in zip(xs, ys)]
+        # limbs stay canonical w-bit
+        for arr in (add, tri, sub):
+            assert int(np.asarray(arr).max()) <= ctx.mask
+
+    def test_mont_mul_lazy_and_canon(self):
+        dfield, ctx = self._ctx()
+        p, r = ctx.params.p, ctx.params.r
+        rng = random.Random(6)
+        xs = [rng.randrange(0, 4 * p) for _ in range(8)]
+        ys = [rng.randrange(0, 4 * p) for _ in range(8)]
+        xa, ya = self._vals(ctx, xs), self._vals(ctx, ys)
+        out = jax.jit(lambda a, b: dfield.mont_mul(ctx, a, b, lazy=True))(
+            xa, ya
+        )
+        got = self._back(ctx, out)
+        rinv = pow(r, -1, p)
+        for g, x, y in zip(got, xs, ys):
+            assert g % p == (x * y * rinv) % p
+            assert g < 2 * p  # REDC bound for product-bound 16 <= 4096
+        canon = jax.jit(lambda a: dfield.field_canon(ctx, a, 4))(
+            self._vals(ctx, xs)
+        )
+        assert self._back(ctx, canon) == [x % p for x in xs]
+
+    def test_add_mixed_lazy_matches_add_mixed(self):
+        from webgpu_msm_bls12_377_tpu.ops.curve import G1Ops, EdwardsOps
+        from webgpu_msm_bls12_377_tpu.ops.convert import ints_to_words
+        from webgpu_msm_bls12_377_tpu.ops.field import to_mont
+        from webgpu_msm_bls12_377_tpu.reference import curve as ocurve
+
+        rng = random.Random(7)
+        for group in (G1Ops(), EdwardsOps()):
+            ctx = group.ctx
+            p = ctx.params.p
+            if isinstance(group, G1Ops):
+                pts = [
+                    ocurve.g1_to_affine(
+                        ocurve.g1_scalar_mult(
+                            ocurve.G1_GENERATOR, rng.randrange(1, 1 << 64)
+                        )
+                    )
+                    for _ in range(4)
+                ]
+                affs = [(x, y) for x, y in pts]
+            else:
+                base = ocurve.ED_GENERATOR
+                eps = [
+                    ocurve.ed_to_affine(
+                        ocurve.ed_scalar_mult(base, rng.randrange(1, 1 << 64))
+                    )
+                    for _ in range(4)
+                ]
+                affs = [(x, y, (x * y) % p) for x, y in eps]
+            cols = [
+                jax.jit(lambda a: to_mont(ctx, a))(
+                    self._vals(ctx, [a[c] for a in affs])
+                )
+                for c in range(len(affs[0]))
+            ]
+            aff_batch = tuple(cols)
+            acc = group.zero((len(affs),))
+            lazy = acc
+            for _ in range(3):
+                acc = jax.jit(group.add_mixed)(acc, aff_batch)
+                lazy = jax.jit(group.add_mixed_lazy)(lazy, aff_batch)
+            lazy_c = jax.jit(group.canon)(lazy)
+            for a, b in zip(acc, lazy_c):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), type(
+                    group
+                ).__name__
+

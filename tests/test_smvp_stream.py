@@ -108,12 +108,12 @@ def test_stream_matches_legacy_buckets(device_inputs):
     )(plan.starts, plan.lens)
     stable = jax.jit(lambda t: ss.build_signed_table(ops, t))(table)
     s_slabs = ss.slab_class(int(np.asarray(layout.total_slabs)), N)
-    arr, outb, first, act = jax.jit(
+    arr, outb, flags = jax.jit(
         lambda st, sv, lo: ss.gather_slabs(st, sv, lo, s_slabs)
     )(stable, plan.sorted_vals, layout)
     nb_total = NUM_WINDOWS * (1 << (CHUNK - 1)) // ss.LANES
     blocks = ss.accumulate_buckets_streamed(
-        ops, arr, outb, first, act, nb_total, interpret=True
+        ops, arr, outb, flags, nb_total, interpret=True
     )
     got = ss.permute_buckets(ops, blocks, layout)
 

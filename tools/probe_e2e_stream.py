@@ -77,17 +77,17 @@ def main():
         lambda tb, sv, lay: ss.gather_slabs(tb, sv, lay, s_slabs)
     )
     t_gather = timeit(gather, table, sorted_vals, layout)
-    arr, outb, first, act = gather(table, sorted_vals, layout)
+    arr, outb, flags = gather(table, sorted_vals, layout)
     print(f"gather  {t_gather*1e3:8.1f} ms   arr={arr.shape} {arr.nbytes/1e9:.2f} GB", flush=True)
 
     nb_total = num_windows * (1 << (chunk - 1)) // ss.LANES
     kern = jax.jit(
-        lambda a, ob, fi, ac: ss.accumulate_buckets_streamed(
-            eng.group, a, ob, fi, ac, nb_total
+        lambda a, ob, fl: ss.accumulate_buckets_streamed(
+            eng.group, a, ob, fl, nb_total
         )
     )
-    t_kern = timeit(kern, arr, outb, first, act)
-    blocks = kern(arr, outb, first, act)
+    t_kern = timeit(kern, arr, outb, flags)
+    blocks = kern(arr, outb, flags)
     fence(blocks)
     arr_bytes = arr.nbytes
     del arr  # 4+ GB; free before the tail stage

@@ -96,7 +96,7 @@ class CuzkMsmEngine:
         curve: CurveId,
         *,
         force_recompile: bool = False,
-        num_bpr_threads: int = 1024,
+        num_bpr_threads: int = 512,
         chunk_size: int | None = None,
         smvp_mode: str = "auto",
     ):
@@ -293,11 +293,12 @@ class CuzkMsmEngine:
         bpr_threads = self.num_bpr_threads
 
         def main_fn(signed_table, sorted_vals, layout):
-            arr, outb, first, act = gather_slabs(
+            arr, outb, flags = gather_slabs(
                 signed_table, sorted_vals, layout, s_slabs
             )
             blocks = accumulate_buckets_streamed(
-                group, arr, outb, first, act, nb_total, interpret=interpret
+                group, arr, outb, flags, nb_total,
+                interpret=interpret,
             )
             buckets = permute_buckets(group, blocks, layout)
             wsums = reduce_buckets(

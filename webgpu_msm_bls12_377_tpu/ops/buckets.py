@@ -80,26 +80,38 @@ def build_bucket_plan(
     sign_pos = (d > hh).astype(jnp.int32)
     valid = d != hh
 
-    window_ids = jax.lax.broadcasted_iota(jnp.int32, (num_windows, n), 0)
     point_ids = jax.lax.broadcasted_iota(jnp.int32, (num_windows, n), 1)
 
-    keys = jnp.where(valid, window_ids * hh + slot, jnp.int32(num_buckets))
+    # Per-window local keys + one batched row sort: each window holds
+    # exactly n entries, so window w's segment occupies flat rows
+    # [w*n, (w+1)*n) and global starts are w*n + local bounds.  The
+    # batched (K, n) sort measured ~17% faster than the flat K*n sort on
+    # v5e (fewer comparator stages per row).  Invalid digits (slot h,
+    # the +2^(c-1) carry encoding) sort to the end of their own row.
+    keys = jnp.where(valid, slot, hh)
     vals = point_ids | (sign_pos << SIGN_BIT)
 
     sorted_keys, sorted_vals = jax.lax.sort(
-        (keys.reshape(-1), vals.reshape(-1)), dimension=0, num_keys=1
+        (keys, vals), dimension=1, num_keys=1
     )
 
-    bounds = segment_bounds(sorted_keys, num_buckets)
-    starts = bounds[:-1]
-    lens = bounds[1:] - starts
-    return BucketPlan(sorted_vals=sorted_vals, starts=starts, lens=lens)
+    bounds = segment_bounds(sorted_keys, h)  # (K, h+1) local
+    row_base = (jnp.arange(num_windows, dtype=jnp.int32) * n)[:, None]
+    starts = (bounds[:, :-1] + row_base).reshape(-1)
+    lens = (bounds[:, 1:] - bounds[:, :-1]).reshape(-1)
+    return BucketPlan(
+        sorted_vals=sorted_vals.reshape(-1), starts=starts, lens=lens
+    )
 
 
 def segment_bounds(
     sorted_keys: jnp.ndarray, num_buckets: int, stride: int = 32
 ) -> jnp.ndarray:
     """bounds[b] = #{i : sorted_keys[i] < b} for b in 0..num_buckets.
+
+    sorted_keys: one sorted (m,) vector or a batch of independently
+    sorted rows (k, m); bounds come back shaped (num_buckets + 1,) or
+    (k, num_buckets + 1) accordingly.
 
     Replaces jnp.searchsorted(sorted_keys, arange(B+1)) — 245 ms at 2^20
     on v5e (each of B binary searches costs log2(KN) dependent random
@@ -115,29 +127,37 @@ def segment_bounds(
 
     All steps are O(KN/S + B) with row (not element) gathers: ~15 ms.
     """
-    m = sorted_keys.shape[0]
+    squeeze = sorted_keys.ndim == 1
+    keys = sorted_keys[None] if squeeze else sorted_keys
+    k, m = keys.shape
     if m % stride:  # pad with a sentinel above every query: counts unchanged
         pad = stride - m % stride
-        sorted_keys = jnp.concatenate(
-            [sorted_keys,
-             jnp.full((pad,), num_buckets + 1, sorted_keys.dtype)]
+        keys = jnp.concatenate(
+            [keys, jnp.full((k, pad), num_buckets + 1, keys.dtype)], axis=1
         )
         m += pad
     nq = m // stride
-    rows = sorted_keys.reshape(nq, stride)
-    q = rows[:, 0]
+    rows = keys.reshape(k, nq, stride)
+    q = rows[:, :, 0]  # (k, nq) sampled keys
     # jstar via scatter-max: sample j proves "q[j] < b" for all b >= q[j]+1
-    last = jnp.full((num_buckets + 2,), -1, jnp.int32)
-    last = last.at[q + 1].max(
-        jnp.arange(nq, dtype=jnp.int32), mode="drop"
+    last = jnp.full((k, num_buckets + 2), -1, jnp.int32)
+    last = last.at[
+        jnp.arange(k, dtype=jnp.int32)[:, None], q + 1
+    ].max(
+        jnp.broadcast_to(jnp.arange(nq, dtype=jnp.int32)[None], (k, nq)),
+        mode="drop",
     )
-    jstar = jax.lax.cummax(last)[: num_buckets + 1]
+    jstar = jax.lax.cummax(last, axis=1)[:, : num_buckets + 1]
     r = jnp.maximum(jstar, 0)  # jstar == -1 ==> bounds == 0, window count 0
-    win = jnp.take(rows, r, axis=0)  # (B+1, stride) aligned row gather
-    b_ids = jnp.arange(num_buckets + 1, dtype=sorted_keys.dtype)
-    return (r * stride + jnp.sum(
-        (win < b_ids[:, None]).astype(jnp.int32), axis=1
-    )).astype(jnp.int32)
+    win = jnp.take_along_axis(
+        rows, r[:, :, None], axis=1
+    )  # (k, B+1, stride) aligned row gather
+    b_ids = jnp.arange(num_buckets + 1, dtype=keys.dtype)
+    bounds = (
+        r * stride
+        + jnp.sum((win < b_ids[None, :, None]).astype(jnp.int32), axis=2)
+    ).astype(jnp.int32)
+    return bounds[0] if squeeze else bounds
 
 
 def round_class(max_len: int, step: int = 16) -> int:

@@ -40,9 +40,13 @@ from .field import (
     FieldCtx,
     bigint_is_zero,
     field_add,
+    field_canon,
     field_ctx,
     field_neg,
     field_sub,
+    lazy_add,
+    lazy_sub,
+    lazy_triple,
     mont_mul,
 )
 
@@ -90,8 +94,16 @@ class G1Ops:
     Point = ProjG1
     AFFINE_COORDS = 2
 
+    #: k*p offsets used by add_mixed_lazy's lazy_subs; shipped into
+    #: Pallas kernels as inputs (captured array constants are illegal
+    #: there — ops/pallas_kernels.py:_const_arrays/_rebuild_group)
+    LAZY_KS = (2, 4, 12)
+
     def __init__(self, ctx: FieldCtx | None = None):
         self.ctx = ctx if ctx is not None else field_ctx(self.CURVE)
+        self._kp = {
+            k: self.ctx.const(k * self.ctx.params.p) for k in self.LAZY_KS
+        }
 
     def zero(self, batch_shape: tuple[int, ...]) -> ProjG1:
         """The point at infinity (0 : 1 : 0), Montgomery form, broadcast."""
@@ -170,6 +182,64 @@ class G1Ops:
         t1 = mm(t1, Z3); Y3 = fa(t1, Y3); t0 = mm(t0, t3)
         Z3 = mm(Z3, t4); Z3 = fa(Z3, t0)
         return ProjG1(x=X3, y=Y3, z=Z3)
+
+    #: lazy-domain accumulator bound (coords < LAZY_BOUND * p); see
+    #: add_mixed_lazy
+    LAZY_BOUND = 4
+
+    def add_mixed_lazy(self, p1: ProjG1, aff) -> ProjG1:
+        """RCB mixed add in the lazy domain (ops/field.py): no per-op
+        canonical reductions, ~25% fewer vector ops than add_mixed.
+
+        Contract: accumulator coords < 4p (LAZY_BOUND), affine addend
+        canonical (< p); outputs again < 4p.  Bound bookkeeping below is
+        in units of p ("b<=k" means value < k*p); every Montgomery input
+        pair satisfies bound(a)*bound(b) <= 2^13/2 = 4096, so REDC
+        outputs stay < p*(1 + 4096/8192) < 2p, and raw magnitudes peak at
+        14p < 2^381 << 2^390 = limb capacity.  Semantics checked against
+        add_mixed in tests (mod p) and by the stream-kernel differential
+        tests; canonicalize with canon() at stage end.
+        """
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b, lazy=True)
+        fa = lambda a, b: lazy_add(ctx, a, b)
+        X1, Y1, Z1 = p1  # b<=4 each
+        X2, Y2 = aff  # b<=1
+        t0 = mm(X1, X2)               # 4*1      -> b<=2
+        t1 = mm(Y1, Y2)               # 4*1      -> b<=2
+        t3 = fa(X2, Y2)               # b<=2
+        t4 = fa(X1, Y1)               # b<=8
+        t3 = mm(t3, t4)               # 2*8=16   -> b<=2
+        t4 = fa(t0, t1)               # b<=4
+        t3 = lazy_sub(ctx, t3, t4, self._kp[4])  # b<=6
+        t4 = mm(Y2, Z1)               # 1*4      -> b<=2
+        t4 = fa(t4, Y1)               # b<=6
+        Y3 = mm(X2, Z1)               # 1*4      -> b<=2
+        Y3 = fa(Y3, X1)               # b<=6
+        X3 = fa(t0, t0)               # b<=4
+        t0 = fa(X3, t0)               # b<=6
+        t2 = lazy_triple(ctx, Z1)     # b<=12
+        Z3 = fa(t1, t2)               # b<=14
+        t1 = lazy_sub(ctx, t1, t2, self._kp[12])  # b<=14
+        Y3 = lazy_triple(ctx, Y3)     # b<=18... see below
+        # Y3 b<=18 exceeds the 4096-product budget with t4 b<=6 (108 ok)
+        X3 = mm(t4, Y3)               # 6*18=108  -> b<=2
+        t2 = mm(t3, t1)               # 6*14=84   -> b<=2
+        X3 = lazy_sub(ctx, t2, X3, self._kp[2])  # b<=4
+        Y3 = mm(Y3, t0)               # 18*6=108  -> b<=2
+        t1 = mm(t1, Z3)               # 14*14=196 -> b<=2
+        Y3 = fa(t1, Y3)               # b<=4
+        t0 = mm(t0, t3)               # 6*6=36    -> b<=2
+        Z3 = mm(Z3, t4)               # 14*6=84   -> b<=2
+        Z3 = fa(Z3, t0)               # b<=4
+        return ProjG1(x=X3, y=Y3, z=Z3)
+
+    def canon(self, p: ProjG1) -> ProjG1:
+        """Lazy-domain point -> canonical coords (< p)."""
+        ctx = self.ctx
+        return ProjG1(
+            *(field_canon(ctx, c, self.LAZY_BOUND, self._kp) for c in p)
+        )
 
     def double(self, p: ProjG1) -> ProjG1:
         """Complete doubling (RCB 2016 Alg. 9, a=0, b3=3): 8M."""
@@ -283,11 +353,16 @@ class EdwardsOps:
     Point = ExtEd
     AFFINE_COORDS = 3
 
+    LAZY_KS = (2, 4)  # see G1Ops.LAZY_KS
+
     def __init__(self, ctx: FieldCtx | None = None):
         self.ctx = ctx if ctx is not None else field_ctx(self.CURVE)
         self.d_mont_col = self.ctx.const(
             (EDWARDS_D * self.ctx.params.r) % self.ctx.params.p
         )
+        self._kp = {
+            k: self.ctx.const(k * self.ctx.params.p) for k in self.LAZY_KS
+        }
 
     def zero(self, batch_shape: tuple[int, ...]) -> ExtEd:
         ctx = self.ctx
@@ -339,6 +414,46 @@ class EdwardsOps:
     def add_mixed(self, p1: ExtEd, aff) -> ExtEd:
         """p1 + affine (z2 = 1): d-term is just z1. Bit-identical to add."""
         return self._add_core(p1, self.from_affine(aff), p1.z)
+
+    #: lazy-domain accumulator bound; see G1Ops.add_mixed_lazy
+    LAZY_BOUND = 2
+
+    def add_mixed_lazy(self, p1: ExtEd, aff) -> ExtEd:
+        """Unified hwcd mixed add in the lazy domain (ops/field.py).
+
+        Contract: accumulator coords < 2p, affine addend canonical;
+        outputs < 2p (every REDC input product bound <= 4096, outputs
+        < 1.5p).  Bounds in units of p as comments.
+        """
+        ctx = self.ctx
+        mm = lambda u, v: mont_mul(ctx, u, v, lazy=True)
+        fa = lambda u, v: lazy_add(ctx, u, v)
+        x2, y2, t2 = aff  # b<=1
+        a = mm(p1.x, x2)              # 2*1     -> b<=2
+        b = mm(p1.y, y2)              # b<=2
+        t1t2 = mm(p1.t, t2)           # b<=2
+        c = mm(self.d_mont_col, t1t2)  # 1*2    -> b<=2
+        x1y1 = fa(p1.x, p1.y)         # b<=4
+        x2y2 = fa(x2, y2)             # b<=2
+        em = mm(x1y1, x2y2)           # 4*2=8   -> b<=2
+        ab = fa(a, b)                 # b<=4
+        e = lazy_sub(ctx, em, ab, self._kp[4])  # b<=6
+        dd = p1.z                     # b<=2 (z2 = 1)
+        f = lazy_sub(ctx, dd, c, self._kp[2])   # b<=4
+        g = fa(dd, c)                 # b<=4
+        h = fa(b, a)                  # b<=4
+        return ExtEd(
+            x=mm(e, f),               # 6*4=24  -> b<=2
+            y=mm(g, h),               # 4*4=16  -> b<=2
+            t=mm(e, h),               # 24      -> b<=2
+            z=mm(f, g),               # 16      -> b<=2
+        )
+
+    def canon(self, p: ExtEd) -> ExtEd:
+        ctx = self.ctx
+        return ExtEd(
+            *(field_canon(ctx, c, self.LAZY_BOUND, self._kp) for c in p)
+        )
 
     def double(self, p1: ExtEd) -> ExtEd:
         """dbl-2008-hwcd with a = -1 (d-term = -a)."""

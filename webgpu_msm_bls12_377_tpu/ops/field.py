@@ -284,12 +284,93 @@ def field_neg(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Lazy (redundant) field arithmetic for the hot point kernels
+# ---------------------------------------------------------------------------
+#
+# Inside the SMVP stream kernel the expensive invariant "every value < p"
+# buys nothing: only the LIMBS must stay 13-bit (so Montgomery
+# accumulation stays carry-free), while values may grow to k*p as long as
+# k*p < 2^(W*w) = 2^390 and Montgomery inputs satisfy
+# bound(a)*bound(b)*p^2/R + p < next bound.  Dropping the per-op
+# canonical reductions (the cond_reduce after every REDC, the
+# subtract-p-select after every add/sub) removes ~1/4 of the point-add's
+# vector ops.  ops/curve.py:add_mixed_lazy tracks the exact bounds; one
+# field_canon at the end of the stage restores canonical values.
+
+
+def lazy_add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a + b with carry normalization only: bound(out) = bound(a)+bound(b).
+
+    No mod-p reduction; limbs return canonical (13-bit)."""
+    out, _ = resolve_carries(ctx, a + b, value_bits=ctx.word_size + 1)
+    return out
+
+
+def lazy_triple(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """3*a in one carry pass (RCB's b3 constant): bound(out) = 3*bound(a)."""
+    out, _ = resolve_carries(ctx, a + a + a, value_bits=ctx.word_size + 2)
+    return out
+
+
+def lazy_sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, k) -> jnp.ndarray:
+    """a + k*p - b, exact, for b < k*p and a + k*p - b < 2^(W*w).
+
+    bound(out) = bound(a) + k.  Two's-complement form: a + k*p + ~b + 1
+    wraps mod 2^(W*w) to the exact non-negative value, so one carry
+    normalization replaces field_sub's borrow prefix + wraparound add +
+    select.  Per-limb peak 3*mask + 1 < 2^15 stays in uint32.
+
+    k: the int multiple, or a precomputed (W, 1) k*p limb column — inside
+    Pallas kernel bodies the column MUST be a kernel input (captured
+    array constants are rejected there); the group classes ship their
+    k*p columns via _const_arrays (ops/pallas_kernels.py).
+    """
+    kp = ctx.const(k * ctx.params.p) if isinstance(k, int) else k
+    mask = jnp.uint32(ctx.mask)
+    s = a + kp + (mask - b)
+    one0 = jnp.concatenate(
+        [jnp.ones((1, *s.shape[1:]), U32), jnp.zeros((s.shape[0] - 1, *s.shape[1:]), U32)],
+        axis=0,
+    )
+    out, _ = resolve_carries(ctx, s + one0, value_bits=ctx.word_size + 2)
+    return out
+
+
+def field_canon(
+    ctx: FieldCtx, s: jnp.ndarray, bound: int, kp_cols=None
+) -> jnp.ndarray:
+    """Reduce a lazy-domain value < bound*p to the canonical residue < p.
+
+    ceil(log2(bound)) conditional subtracts of halving multiples of p.
+    kp_cols: optional {k: (W, 1) k*p column} — REQUIRED inside Pallas
+    kernel bodies, where fresh array constants cannot be captured
+    (the group classes ship their _kp columns as kernel inputs).
+    """
+    k = 1
+    while k < bound:
+        k *= 2
+    while k > 2:
+        k //= 2
+        col = kp_cols[k] if kp_cols else ctx.const(k * ctx.params.p)
+        kp = jnp.broadcast_to(col, s.shape)
+        diff, borrow = bigint_sub(ctx, s, kp)
+        s = jnp.where(borrow == 0, diff, s)
+    # final step subtracts p on s >= p (a lazy value can be exactly p,
+    # which cond_reduce's strict compare would leave non-canonical)
+    return field_reduce(ctx, s)
+
+
+# ---------------------------------------------------------------------------
 # Montgomery product — the hot function (mont_pro_product.template.wgsl)
 # ---------------------------------------------------------------------------
 
 
 def mont_mul(
-    ctx: FieldCtx, x: jnp.ndarray, y: jnp.ndarray, unroll: int = 1
+    ctx: FieldCtx,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    unroll: int = 1,
+    lazy: bool = False,
 ) -> jnp.ndarray:
     """Carry-free Montgomery product: returns x*y*r^-1 mod p, canonical.
 
@@ -373,6 +454,10 @@ def mont_mul(
 
     # final carry sweep (mont_pro_product.template.wgsl:52-57)
     s, _ = resolve_carries(ctx, s, value_bits=32)
+    if lazy:
+        # lazy domain: REDC's sum is already < p*(1 + bound(x)*bound(y)
+        # * p/R); callers track bounds and canonicalize once at stage end
+        return s
     return cond_reduce(ctx, s)
 
 

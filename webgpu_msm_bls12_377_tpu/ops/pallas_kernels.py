@@ -51,11 +51,18 @@ def _supported(batch: int, interpret: bool = False) -> bool:
 
 
 def _const_arrays(group):
-    """Field constants shipped into the kernel as (W, 1) inputs."""
+    """Field constants shipped into the kernel as (W, 1) inputs.
+
+    Order contract with _rebuild_group: [p, one_mont, (d_mont), *k*p
+    lazy-sub offsets in LAZY_KS order].  Captured array constants are
+    illegal inside pallas_call bodies, so everything the group ops touch
+    must ride in as inputs.
+    """
     ctx = group.ctx
     consts = [ctx.p_col, ctx.one_mont_col]
     if isinstance(group, EdwardsOps):
         consts.append(group.d_mont_col)
+    consts.extend(group._kp[k] for k in group.LAZY_KS)
     return consts
 
 
@@ -69,8 +76,11 @@ def _rebuild_group(group_cls, ctx, const_vals):
     )
     g = object.__new__(group_cls)
     g.ctx = kctx
+    i = 2
     if group_cls is EdwardsOps:
-        g.d_mont_col = const_vals[2]
+        g.d_mont_col = const_vals[i]
+        i += 1
+    g._kp = dict(zip(group_cls.LAZY_KS, const_vals[i:]))
     return g
 
 

@@ -153,7 +153,9 @@ def pregather_signed(
 def _kernel_body(group_cls, ctx, n_coords, n_aff, w, total, r_tile, block):
     """The Pallas kernel: per-lane segment DMA + in-VMEM bucket rounds."""
 
-    n_consts = 2 if group_cls.__name__ == "G1Ops" else 3
+    n_consts = (2 if group_cls.__name__ == "G1Ops" else 3) + len(
+        group_cls.LAZY_KS
+    )
 
     def kernel(*refs):
         # [rounds(prefetch)] [starts, lens, consts..., data] [outs] [scratch, sem]

@@ -62,6 +62,11 @@ MASK_WORD = CWP - 1
 SIGN_BIT = 30
 IDX_MASK = (1 << SIGN_BIT) - 1
 
+# per-slab flag bits (one packed prefetch map; see gather_slabs)
+FLAG_FIRST = 1
+FLAG_LAST = 2
+FLAG_ACT = 4
+
 
 class StreamLayout(NamedTuple):
     """Device arrays describing the slab layout (plan-program outputs).
@@ -168,11 +173,18 @@ def gather_slabs(
 ):
     """Materialize the slab-stream array + kernel prefetch maps.
 
-    Returns (arr, outb, first, act): arr (CWP, s_slabs*LANES) transposed
-    slab stream; outb/first/act (s_slabs,) prefetch maps.  Slabs >=
-    total_slabs (the static-class tail) gather only the zero row, carry
-    act=0 so the kernel skips their adds entirely, and revisit the last
-    block (keeping output revisiting consecutive).
+    Returns (arr, outb, flags): arr (CWP, s_slabs*LANES) transposed slab
+    stream; outb/flags (s_slabs,) prefetch maps.  flags packs three bits
+    per slab — SMEM holds ~1 MB total and each 2^20-class map costs
+    272 KB, so separate maps would blow the scoped SMEM budget:
+
+      bit 0 (FLAG_FIRST): block's first slab — init the accumulator;
+      bit 1 (FLAG_LAST):  block's final active slab — the kernel
+          canonicalizes the lazy-domain accumulator there (cheaper than
+          a separate full-bucket-array canon pass);
+      bit 2 (FLAG_ACT):   active slab — clear for the static-class tail,
+          whose slabs gather only the zero row, skip all adds, and
+          revisit the last block (keeping output revisiting consecutive).
     """
     n = (signed_table.shape[0] - 8) // 2
     nb_total = layout.starts_rk.shape[0]
@@ -190,8 +202,11 @@ def gather_slabs(
     bid = jnp.minimum(bid, nb_total - 1)
     t = sl - jnp.take(layout.osl, bid)
     first = ((t == 0) & active).astype(jnp.int32)
+    lastm = (
+        (sl == jnp.take(layout.osl, bid + 1) - 1) & active
+    ).astype(jnp.int32)
     outb = jnp.where(active, bid, nb_total - 1)
-    act = active.astype(jnp.int32)
+    flags = first | (lastm << 1) | (active.astype(jnp.int32) << 2)
 
     s_rows = jnp.take(layout.starts_rk, bid, axis=0)  # (s_slabs, LANES)
     l_rows = jnp.take(layout.lens_rk, bid, axis=0)
@@ -202,37 +217,53 @@ def gather_slabs(
     neg = 1 - ((sv >> SIGN_BIT) & 1)  # sign_pos==1 -> positive form
     idx2 = jnp.where(valid.reshape(-1), idx + neg * n, zero_row)
     g = jnp.take(signed_table, idx2, axis=0)  # (s_slabs*LANES, CWP)
-    return g.T, outb, first, act
+    return g.T, outb, flags
 
 
 def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w):
-    n_consts = 2 if group_cls.__name__ == "G1Ops" else 3
+    n_consts = (2 if group_cls.__name__ == "G1Ops" else 3) + len(
+        group_cls.LAZY_KS
+    )
 
     def kernel(*refs):
-        # [outb, first, act (prefetch)] [consts..., data] [outs...]
-        first_ref, act_ref = refs[1], refs[2]
-        const_vals = [r[...] for r in refs[3 : 3 + n_consts]]
-        data_ref = refs[3 + n_consts]
-        out_refs = refs[4 + n_consts : 4 + n_consts + n_coords]
+        # [outb, flags (prefetch)] [consts..., data] [outs...]
+        flags_ref = refs[1]
+        const_vals = [r[...] for r in refs[2 : 2 + n_consts]]
+        data_ref = refs[2 + n_consts]
+        out_refs = refs[3 + n_consts : 3 + n_consts + n_coords]
 
         kgroup = _rebuild_group(group_cls, ctx, const_vals)
         i = pl.program_id(0)
+        flags = flags_ref[i]
 
-        @pl.when(act_ref[i] == 1)
+        @pl.when(flags & FLAG_ACT != 0)
         def _():
-            first = first_ref[i]
+            first = flags & FLAG_FIRST
             slab = data_ref[...]  # (CWP, LANES)
             aff = tuple(slab[c * w : (c + 1) * w] for c in range(n_aff))
             m = slab[MASK_WORD : MASK_WORD + 1, :]  # (1, LANES) 0/1
 
             zero = kgroup.zero((LANES,))
             acc = tuple(
-                jnp.where(first == 1, z, o[...])
+                jnp.where(first == FLAG_FIRST, z, o[...])
                 for z, o in zip(zero, out_refs)
             )
-            new = kgroup.add_mixed(kgroup.Point(*acc), aff)
+            # lazy-domain add (coords < LAZY_BOUND*p, ops/curve.py):
+            # skips every per-op canonical reduction
+            new = kgroup.add_mixed_lazy(kgroup.Point(*acc), aff)
             for o, nv, av in zip(out_refs, new, acc):
                 o[...] = jnp.where(m, nv, av)
+
+        # canonicalize once on each block's last active slab, while the
+        # accumulator block is still VMEM-resident (~3% of kernel work
+        # vs ~40 ms for a separate pass over the full bucket array)
+        @pl.when(flags & FLAG_LAST != 0)
+        def _():
+            can = kgroup.canon(
+                kgroup.Point(*(o[...] for o in out_refs))
+            )
+            for o, cv in zip(out_refs, can):
+                o[...] = cv
 
     return kernel
 
@@ -241,8 +272,7 @@ def accumulate_buckets_streamed(
     group,
     arr: jnp.ndarray,
     outb: jnp.ndarray,
-    first: jnp.ndarray,
-    act: jnp.ndarray,
+    flags: jnp.ndarray,
     nb_total: int,
     interpret: bool = False,
 ):
@@ -257,24 +287,24 @@ def accumulate_buckets_streamed(
     s_slabs = outb.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # outb, first, act
+        num_scalar_prefetch=2,  # outb, flags (SMEM is ~1 MB: keep maps few)
         grid=(s_slabs,),
         in_specs=[
             *[
                 pl.BlockSpec(
                     (c.shape[0], 1),
-                    lambda i, outb, first, act: (0, 0),
+                    lambda i, outb, flags: (0, 0),
                     memory_space=pltpu.VMEM,
                 )
                 for c in consts
             ],
             pl.BlockSpec(
-                (CWP, LANES), lambda i, outb, first, act: (0, i)
+                (CWP, LANES), lambda i, outb, flags: (0, i)
             ),  # slab stream
         ],
         out_specs=tuple(
             pl.BlockSpec(
-                (w, LANES), lambda i, outb, first, act: (0, outb[i])
+                (w, LANES), lambda i, outb, flags: (0, outb[i])
             )
             for _ in range(n_coords)
         ),
@@ -290,8 +320,7 @@ def accumulate_buckets_streamed(
         interpret=interpret,
     )(
         outb,
-        first,
-        act,
+        flags,
         *[jnp.asarray(c) for c in consts],
         arr,
     )
@@ -308,8 +337,9 @@ def permute_buckets(group, blocks, layout: StreamLayout):
     """
     coords = []
     for c, z in zip(blocks, group.zero((1,))):
-        g = jnp.take(c.T, layout.perm, axis=0).T
-        coords.append(g)
+        # kernel outputs are canonical: the stream kernel folds the
+        # lazy-domain canon into each block's last slab
+        coords.append(jnp.take(c.T, layout.perm, axis=0).T)
     # empty buckets -> identity (lens in window-major order)
     lens_wm = jnp.take(
         layout.lens_rk.reshape(-1), layout.perm

@@ -266,11 +266,12 @@ class ShardedMsmEngine(CuzkMsmEngine):
                 perm=perm,
                 total_slabs=total[0],
             )
-            arr, outb, first, act = gather_slabs(
+            arr, outb, flags = gather_slabs(
                 signed_table, sorted_vals, layout, s_slabs
             )
             blocks = accumulate_buckets_streamed(
-                group, arr, outb, first, act, nb_total, interpret=interpret
+                group, arr, outb, flags, nb_total,
+                interpret=interpret,
             )
             buckets = permute_buckets(group, blocks, layout)
             wsums = reduce_buckets(
