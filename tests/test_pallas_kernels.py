@@ -77,3 +77,15 @@ def test_small_batch_falls_back(data):
     want = select(valid[:64], ops.add_mixed(small, signed), small)
     for g, w in zip(got, want):
         assert bool(jnp.array_equal(g, w))
+
+
+def test_fused_running_add_interpret(data):
+    """BPR stage-1 step kernel: m' = m + b; g' = g + m' in one call."""
+    ops, acc, aff, _, _ = data
+    g0 = dcurve.ProjG1(aff[0], aff[1], acc.z)
+    b = dcurve.ProjG1(acc.y, aff[0], acc.x)
+    got_m, got_g = pk.fused_running_add(ops, acc, g0, b, interpret=True)
+    want_m = ops.add(acc, b)
+    want_g = ops.add(g0, want_m)
+    for g, w in zip(tuple(got_m) + tuple(got_g), tuple(want_m) + tuple(want_g)):
+        assert bool(jnp.array_equal(g, w))

@@ -99,10 +99,18 @@ def main():
         flush=True,
     )
 
+    from webgpu_msm_bls12_377_tpu.ops.bpr import (
+        bpr_order,
+        reduce_buckets_prearranged,
+    )
+
+    order = bpr_order(num_windows, chunk, eng.num_bpr_threads)
+
     def tail(bl, lay):
-        buckets = ss.permute_buckets(eng.group, bl, lay)
-        wsums = reduce_buckets(eng.group, buckets, num_windows, chunk,
-                               eng.num_bpr_threads)
+        buckets = ss.permute_buckets(eng.group, bl, lay, order=order)
+        wsums = reduce_buckets_prearranged(
+            eng.group, buckets, num_windows, chunk, eng.num_bpr_threads
+        )
         return tuple(from_mont(eng.ctx, c) for c in wsums)
 
     t_tail = timeit(jax.jit(tail), blocks, layout)

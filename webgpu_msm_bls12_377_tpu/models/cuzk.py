@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.bpr import reduce_buckets
+from ..ops.bpr import bpr_order, reduce_buckets, reduce_buckets_prearranged
 from ..ops.buckets import (
     accumulate_buckets,
     build_bucket_plan,
@@ -291,6 +291,9 @@ class CuzkMsmEngine:
         num_windows = SCALAR_BITS // chunk_size
         nb_total = num_windows * (1 << (chunk_size - 1)) // smvp_stream.LANES
         bpr_threads = self.num_bpr_threads
+        # static BPR walk composed into the permute gather: the
+        # running-sum scan then reads contiguous slices (ops/bpr.py)
+        order = bpr_order(num_windows, chunk_size, bpr_threads)
 
         def main_fn(signed_table, sorted_vals, layout):
             arr, outb, flags = gather_slabs(
@@ -300,8 +303,8 @@ class CuzkMsmEngine:
                 group, arr, outb, flags, nb_total,
                 interpret=interpret,
             )
-            buckets = permute_buckets(group, blocks, layout)
-            wsums = reduce_buckets(
+            buckets = permute_buckets(group, blocks, layout, order=order)
+            wsums = reduce_buckets_prearranged(
                 group, buckets, num_windows, chunk_size, bpr_threads
             )
             return tuple(from_mont(ctx, c) for c in wsums)

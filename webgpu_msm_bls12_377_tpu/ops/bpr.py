@@ -27,7 +27,121 @@ import jax.numpy as jnp
 import numpy as np
 
 from .curve import select
-from .pallas_kernels import fused_add, masked_add_and_double
+from .pallas_kernels import fused_add, fused_running_add, masked_add_and_double
+
+
+def bpr_order(
+    num_windows: int, chunk_size: int, num_threads: int
+) -> np.ndarray:
+    """Static (bpt, lanes) window-major bucket index per (step, lane).
+
+    Row 0 is each lane's m/g seed (idx0 below), row st >= 1 the bucket its
+    running sums consume at step st — exactly the gather sequence of
+    reduce_buckets' stage 1, laid out so the whole walk becomes ONE row
+    gather (composable with the stream path's block->window permutation)
+    and the scan consumes contiguous slices instead of issuing a
+    minor-axis bucket gather per step.
+    """
+    h = 1 << (chunk_size - 1)
+    tc = min(num_threads, h)
+    bpt = h // tc
+    wi = np.repeat(np.arange(num_windows, dtype=np.int32), tc)
+    tf = np.tile(np.arange(tc, dtype=np.int32), num_windows)
+    base = wi * h + (tc - tf) * bpt
+    idx0 = np.where(tf == 0, wi * h, base)
+    return np.stack([idx0] + [base - st for st in range(1, bpt)])
+
+
+def reduce_buckets_prearranged(
+    group,
+    buckets_bpr,
+    num_windows: int,
+    chunk_size: int,
+    num_threads: int = 256,
+):
+    """reduce_buckets on a batch pre-gathered in bpr_order.
+
+    buckets_bpr: point batch with bpt*lanes columns laid out step-major
+    (column st*lanes + lane = buckets[bpr_order[st, lane]]).  The stream
+    pipeline composes bpr_order with its own block->window permutation so
+    the rearrangement costs nothing extra (ops/smvp_stream.py
+    permute_buckets); stage 1 then runs gather-free, two fused adds per
+    step in one Pallas call (fused_running_add).
+    """
+    h = 1 << (chunk_size - 1)
+    t_count = min(num_threads, h)
+    bpt = h // t_count
+    lanes = num_windows * t_count
+
+    def col_slice(pb, st):
+        return type(pb)(*(c[:, st * lanes : (st + 1) * lanes] for c in pb))
+
+    m = col_slice(buckets_bpr, 0)
+    g = m
+    if bpt > 1:
+        # scan over contiguous step slices: (w, bpt*lanes) -> (bpt, w, lanes)
+        w = buckets_bpr[0].shape[0]
+        xs = type(buckets_bpr)(
+            *(
+                jnp.moveaxis(
+                    c[:, lanes:].reshape(w, bpt - 1, lanes), 1, 0
+                )
+                for c in buckets_bpr
+            )
+        )
+
+        def body(mg, bi):
+            m, g = mg
+            m, g = fused_running_add(group, m, g, bi)
+            return (m, g), None
+
+        (m, g), _ = jax.lax.scan(body, (m, g), xs)
+
+    return _bpr_stage2_and_fold(
+        group, m, g, num_windows, t_count, bpt
+    )
+
+
+def _bpr_stage2_and_fold(group, m, g, num_windows, t_count, bpt):
+    """Stage 2 (g += m * s) + per-window tree fold, shared by both paths."""
+    tf = np.tile(np.arange(t_count, dtype=np.int32), num_windows)
+    s_lane = (bpt * (t_count - 1 - tf)).astype(np.int64)
+    nbits = max(int(s_lane.max()).bit_length(), 1)
+    bit_table = jnp.asarray(
+        np.stack([(s_lane >> b) & 1 for b in range(nbits)]).astype(bool)
+    )  # (nbits, lanes) compile-time constant
+
+    def bit_body(rt, bits_row):
+        result, temp = rt
+        result, temp = masked_add_and_double(group, result, temp, bits_row)
+        return (result, temp), None
+
+    (g, _), _ = jax.lax.scan(bit_body, (g, m), bit_table)
+
+    # --- fold thread lanes per window: log2(T) tree adds on device
+    folded = g
+    width = t_count
+    while width > 1:
+        half = width // 2
+        lo = type(folded)(
+            *(
+                c.reshape(-1, num_windows, width)[..., :half].reshape(
+                    c.shape[0], -1
+                )
+                for c in folded
+            )
+        )
+        hi = type(folded)(
+            *(
+                c.reshape(-1, num_windows, width)[..., half:].reshape(
+                    c.shape[0], -1
+                )
+                for c in folded
+            )
+        )
+        folded = fused_add(group, lo, hi)
+        width = half
+    return folded  # num_windows lanes
 
 
 def reduce_buckets(
@@ -77,41 +191,5 @@ def reduce_buckets(
         body, (m0, g0), jnp.arange(bpt - 1, dtype=jnp.int32)
     )
 
-    # --- stage 2: g += m * s, s static per lane (stage_2:125-173)
-    s_lane = (bpt * (t_count - 1 - tf)).astype(np.int64)
-    nbits = max(int(s_lane.max()).bit_length(), 1)
-    bit_table = jnp.asarray(
-        np.stack([(s_lane >> b) & 1 for b in range(nbits)]).astype(bool)
-    )  # (nbits, lanes) compile-time constant
-
-    def bit_body(rt, bits_row):
-        result, temp = rt
-        result, temp = masked_add_and_double(group, result, temp, bits_row)
-        return (result, temp), None
-
-    (g, _), _ = jax.lax.scan(bit_body, (g, m), bit_table)
-
-    # --- fold thread lanes per window: log2(T) tree adds on device
-    folded = g
-    width = t_count
-    while width > 1:
-        half = width // 2
-        lo = type(folded)(
-            *(
-                c.reshape(-1, num_windows, width)[..., :half].reshape(
-                    c.shape[0], -1
-                )
-                for c in folded
-            )
-        )
-        hi = type(folded)(
-            *(
-                c.reshape(-1, num_windows, width)[..., half:].reshape(
-                    c.shape[0], -1
-                )
-                for c in folded
-            )
-        )
-        folded = fused_add(group, lo, hi)
-        width = half
-    return folded  # num_windows lanes
+    # --- stage 2 (g += m * s, s static per lane, stage_2:125-173) + fold
+    return _bpr_stage2_and_fold(group, m, g, num_windows, t_count, bpt)

@@ -257,6 +257,39 @@ def fused_add(group, a, b, interpret=False):
     return type(a)(*out)
 
 
+def _running_add_body(n_coords):
+    def body(group, in_refs, out_refs):
+        m = group.Point(*(r[...] for r in in_refs[:n_coords]))
+        g = group.Point(*(r[...] for r in in_refs[n_coords : 2 * n_coords]))
+        b = group.Point(*(r[...] for r in in_refs[2 * n_coords :]))
+        m2 = group.add(m, b)
+        g2 = group.add(g, m2)
+        for o, v in zip(out_refs, tuple(m2) + tuple(g2)):
+            o[...] = v
+
+    return body
+
+
+def fused_running_add(group, m, g, b, interpret=False):
+    """One BPR stage-1 step — m' = m + b; g' = g + m' — in ONE kernel.
+
+    Halves the per-step pallas_call count of the running-sum scan
+    (~0.26 ms per in-program call on v5e at 8k lanes; ops/bpr.py)."""
+    batch = m[0].shape[-1]
+    if not _supported(batch, interpret):
+        m2 = group.add(m, b)
+        return m2, group.add(g, m2)
+    out = _run(
+        _running_add_body(len(m)),
+        group,
+        (*m, *g, *b),
+        num_outputs=2 * len(m),
+        interpret=interpret,
+    )
+    n = len(m)
+    return type(m)(*out[:n]), type(g)(*out[n:])
+
+
 def masked_add_and_double(group, result, temp, bit, interpret=False):
     """One double-and-add step (BPR stage 2), fused."""
     batch = result[0].shape[-1]

@@ -327,24 +327,31 @@ def accumulate_buckets_streamed(
     return group.Point(*out)
 
 
-def permute_buckets(group, blocks, layout: StreamLayout):
+def permute_buckets(group, blocks, layout: StreamLayout, order=None):
     """Block-ordered kernel output -> window-major bucket batch.
 
     Row-gather formulation: transpose (w, B) -> (B, w), take perm rows,
     transpose back — the minor-axis (column) gather form is ~4x slower.
     Buckets in empty blocks (never visited by the kernel) are replaced
     with the group identity via the per-bucket length mask.
+
+    order: optional static window-major index array (e.g.
+    ops/bpr.py:bpr_order): the output is buckets[order.reshape(-1)]
+    instead of window-major — composing the BPR walk into THIS gather
+    makes the downstream running-sum scan gather-free for no extra cost
+    (the composed index is one cheap int take).
     """
+    perm = layout.perm
+    if order is not None:
+        perm = jnp.take(perm, jnp.asarray(order, jnp.int32).reshape(-1))
     coords = []
     for c, z in zip(blocks, group.zero((1,))):
         # kernel outputs are canonical: the stream kernel folds the
         # lazy-domain canon into each block's last slab
-        coords.append(jnp.take(c.T, layout.perm, axis=0).T)
-    # empty buckets -> identity (lens in window-major order)
-    lens_wm = jnp.take(
-        layout.lens_rk.reshape(-1), layout.perm
-    )  # per-bucket length
-    nonempty = (lens_wm > 0)[None, :]
+        coords.append(jnp.take(c.T, perm, axis=0).T)
+    # empty buckets -> identity (lens in output order)
+    lens_sel = jnp.take(layout.lens_rk.reshape(-1), perm)
+    nonempty = (lens_sel > 0)[None, :]
     fixed = [
         jnp.where(nonempty, c, z[:, :1])
         for c, z in zip(coords, group.zero((1,)))

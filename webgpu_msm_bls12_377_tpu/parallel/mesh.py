@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..models.cuzk import SCALAR_BITS, CuzkMsmEngine, choose_chunk_size
-from ..ops.bpr import reduce_buckets
+from ..ops.bpr import bpr_order, reduce_buckets, reduce_buckets_prearranged
 from ..ops.buckets import (
     BucketPlan,
     accumulate_buckets,
@@ -245,6 +245,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
         nb_total = num_windows * (1 << (chunk_size - 1)) // smvp_stream.LANES
         bpr_threads = self.num_bpr_threads
         n_dev = mesh.devices.size
+        order = bpr_order(num_windows, chunk_size, bpr_threads)
 
         @partial(
             shard_map,
@@ -273,8 +274,8 @@ class ShardedMsmEngine(CuzkMsmEngine):
                 group, arr, outb, flags, nb_total,
                 interpret=interpret,
             )
-            buckets = permute_buckets(group, blocks, layout)
-            wsums = reduce_buckets(
+            buckets = permute_buckets(group, blocks, layout, order=order)
+            wsums = reduce_buckets_prearranged(
                 group, buckets, num_windows, chunk_size, bpr_threads
             )
             stacked = jnp.stack(list(wsums))
