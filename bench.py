@@ -46,15 +46,22 @@ def bench_batch(args, curve, n, chunk_size, engine):
     k = args.batch
     case = testdata.make_batch_case(curve, power, k)
     pw_dev = jnp.asarray(case.point_words)
-    sw_devs = [jnp.asarray(s) for s in case.scalar_sets]
     np.asarray(pw_dev[0, 0, :1])
-    for s in sw_devs:
-        np.asarray(s[0, :1])  # fence staging
+    if args.batch_host_inputs:
+        # production-shaped protocol: scalar sets arrive from the host
+        # per set; the pipelined batch overlaps set i+1's host->device
+        # transfer with set i's compute (transfers ride the tunnel at
+        # ~60 MB/s here — comparable to the MSM itself at 2^20)
+        sw_srcs = [np.ascontiguousarray(s) for s in case.scalar_sets]
+    else:
+        sw_srcs = [jnp.asarray(s) for s in case.scalar_sets]
+        for s in sw_srcs:
+            np.asarray(s[0, :1])  # fence staging
 
     def serial():
         t0 = time.perf_counter()
         results = []
-        for sw in sw_devs:
+        for sw in sw_srcs:
             coords = engine.msm_device(pw_dev, sw, chunk_size)
             coords = tuple(np.asarray(c) for c in coords)
             results.append(engine._finalize(coords, chunk_size))
@@ -62,7 +69,7 @@ def bench_batch(args, curve, n, chunk_size, engine):
 
     def batched():
         t0 = time.perf_counter()
-        results = engine._msm_batch_stream(pw_dev, sw_devs, chunk_size)
+        results = engine._msm_batch_stream(pw_dev, sw_srcs, chunk_size)
         return results, time.perf_counter() - t0
 
     # cold (compile) passes first, then timed warm passes
@@ -93,6 +100,7 @@ def bench_batch(args, curve, n, chunk_size, engine):
                     "batched_s": round(tb, 4),
                     "serial_s": round(ts, 4),
                     "speedup_vs_serial": round(ts / tb, 3),
+                    "host_inputs": bool(args.batch_host_inputs),
                     "runs": args.runs,
                     "checked": not args.no_check,
                 },
@@ -121,6 +129,11 @@ def main():
                          "scalar sets over one fixed point set; reports "
                          "batch throughput and the speedup vs K serial "
                          "runs")
+    ap.add_argument("--batch-host-inputs", action="store_true",
+                    help="batch mode with scalar sets starting host-side "
+                         "(production protocol): the pipelined batch "
+                         "overlaps transfers with compute, serial pays "
+                         "transfer + compute per set")
     ap.add_argument("--sharded", action="store_true",
                     help="shard over all local devices via the mesh engine")
     ap.add_argument("--profile", default=None, metavar="DIR",

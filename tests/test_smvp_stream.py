@@ -169,3 +169,19 @@ def test_stream_engine_edwards(case):
 
     want = crv.ed_to_affine(naive_msm(pts, scalars, EDWARDS))
     assert (got["x"], got["y"]) == want
+
+
+def test_stream_batched_msm(case):
+    """compute_msm_batch through the pipelined stream path (interpret):
+    shared signed table, per-set plans, one slab-count sync."""
+    pts, scalars = case
+    rng = random.Random("stream-batch2")
+    scalars2 = [rng.randrange(0, 1 << 253) for _ in range(N)]
+    aff = [crv.g1_to_affine(p) for p in pts]
+    eng = CuzkMsmEngine(
+        CurveId.BLS12_377, chunk_size=CHUNK, smvp_mode="stream-interpret"
+    )
+    results = eng.compute_msm_batch(aff, [scalars, scalars2])
+    for got, ks in zip(results, (scalars, scalars2)):
+        want = crv.g1_to_affine(naive_msm(pts, ks, G1))
+        assert (got["x"], got["y"]) == want

@@ -189,7 +189,23 @@ def main():
     ap.add_argument("--devices", type=int, nargs="+", default=None,
                     help="scaling mode: run the sharded engine at these "
                          "device counts and report efficiency")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="pin the jax platform (cpu = the 8-virtual-"
+                         "device mesh; env vars alone are ignored on "
+                         "this machine's sitecustomize)")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import os as _os
+
+        _flags = _os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in _flags:
+            _os.environ["XLA_FLAGS"] = (
+                _flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     curve = (
         CurveId.BLS12_377 if args.curve == "bls12_377"

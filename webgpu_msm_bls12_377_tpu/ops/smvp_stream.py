@@ -130,11 +130,14 @@ def build_stream_layout(
 def slab_class(total_slabs: int, n: int) -> int:
     """Static slab-count size class for a measured total.
 
-    Steps of max(64, n/256) slabs bound the gather/grid waste at ~6% of
-    the entry count while keeping the number of compiled classes per
-    (n, chunk) tiny (total_slabs concentrates around 1.03x the entry
-    count for random inputs)."""
-    step = max(64, n >> 8)
+    Steps of max(64, n/1024) slabs bound the gather/grid waste at ~1.5%
+    of the entry count (was n/256 -> ~6%: measured ~4% of gather+kernel
+    time wasted on padding at 2^20).  total_slabs concentrates tightly
+    around 1.03x the entry count for random inputs, so in practice one
+    class per (n, chunk) still covers every run; a pathological scalar
+    distribution just compiles one more class (the engine cache is
+    LRU-bounded)."""
+    step = max(64, n >> 10)
     return max(step, -(-int(total_slabs) // step) * step)
 
 
