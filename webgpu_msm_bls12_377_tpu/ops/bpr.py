@@ -118,30 +118,30 @@ def _bpr_stage2_and_fold(group, m, g, num_windows, t_count, bpt):
 
     (g, _), _ = jax.lax.scan(bit_body, (g, m), bit_table)
 
-    # --- fold thread lanes per window: log2(T) tree adds on device
-    folded = g
-    width = t_count
-    while width > 1:
-        half = width // 2
-        lo = type(folded)(
-            *(
-                c.reshape(-1, num_windows, width)[..., :half].reshape(
-                    c.shape[0], -1
-                )
-                for c in folded
-            )
+    # --- fold thread lanes per window: log2(T) shift-reduce adds at a
+    # FIXED (w, lanes) shape.  A halving tree would instantiate a
+    # distinct Mosaic kernel per level (5+ remote compiles per size
+    # class); the shift form reuses ONE fused_add shape for every level
+    # at a negligible extra-lane cost (~2 ms).  Lane i reads partner
+    # i+off, which is in-window for every lane that still influences
+    # lane 0 (i < off <= T/2 => i+off < T); dead lanes read a clamped
+    # partner and compute garbage that never flows into lane 0.
+    lanes = num_windows * t_count
+    wi_l = np.repeat(np.arange(num_windows, dtype=np.int32), t_count)
+    tf_l = np.tile(np.arange(t_count, dtype=np.int32), num_windows)
+    off = t_count // 2
+    while off >= 1:
+        partner = wi_l * t_count + np.minimum(tf_l + off, t_count - 1)
+        shifted = type(g)(
+            *(jnp.take(c, jnp.asarray(partner), axis=1) for c in g)
         )
-        hi = type(folded)(
-            *(
-                c.reshape(-1, num_windows, width)[..., half:].reshape(
-                    c.shape[0], -1
-                )
-                for c in folded
-            )
-        )
-        folded = fused_add(group, lo, hi)
-        width = half
-    return folded  # num_windows lanes
+        g = fused_add(group, g, shifted)
+        off //= 2
+    # lane 0 of each window holds the fold
+    lane0 = jnp.asarray(
+        np.arange(num_windows, dtype=np.int32) * t_count
+    )
+    return type(g)(*(jnp.take(c, lane0, axis=1) for c in g))
 
 
 def reduce_buckets(
