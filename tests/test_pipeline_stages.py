@@ -220,3 +220,23 @@ def test_segment_bounds_matches_searchsorted():
         )
         want = np.searchsorted(keys, np.arange(b + 1), side="left")
         assert got.tolist() == want.tolist(), (len(keys), b)
+
+
+def test_bpr_prearranged_matches_direct(case, device_buckets):
+    """reduce_buckets_prearranged(buckets[bpr_order]) == reduce_buckets."""
+    import jax.numpy as jnp
+
+    ops = dcurve.G1Ops()
+    want = jax.jit(
+        lambda b: dbpr.reduce_buckets(ops, b, NUM_WINDOWS, CHUNK, 8)
+    )(device_buckets)
+    order = dbpr.bpr_order(NUM_WINDOWS, CHUNK, 8)
+    flat = jnp.asarray(order.reshape(-1))
+    pre = type(device_buckets)(
+        *(jnp.take(c, flat, axis=1) for c in device_buckets)
+    )
+    got = jax.jit(
+        lambda b: dbpr.reduce_buckets_prearranged(ops, b, NUM_WINDOWS, CHUNK, 8)
+    )(pre)
+    for g, w in zip(got, want):
+        assert np.array_equal(np.asarray(g), np.asarray(w))
