@@ -36,6 +36,7 @@ from jax import shard_map
 
 from ..models.cuzk import SCALAR_BITS, CuzkMsmEngine, choose_chunk_size
 from ..ops.bpr import bpr_order, reduce_buckets, reduce_buckets_prearranged
+from ..ops.pallas_kernels import fused_add
 from ..ops.buckets import (
     BucketPlan,
     accumulate_buckets,
@@ -242,10 +243,24 @@ class ShardedMsmEngine(CuzkMsmEngine):
         group = self.group
         mesh = self.mesh
         num_windows = SCALAR_BITS // chunk_size
-        nb_total = num_windows * (1 << (chunk_size - 1)) // smvp_stream.LANES
+        h = 1 << (chunk_size - 1)
+        nb_total = num_windows * h // smvp_stream.LANES
         bpr_threads = self.num_bpr_threads
         n_dev = mesh.devices.size
-        order = bpr_order(num_windows, chunk_size, bpr_threads)
+        # Window-sharded BPR (see main_fn): each chip reduces only
+        # num_windows/D windows, so the reduction term scales with D
+        # instead of being replicated (the round-1 design's fixed-term
+        # ceiling on scaling efficiency).  Needs D | num_windows and a
+        # power-of-two D for the halving exchange; otherwise fall back
+        # to replicated BPR + window-sum tree.
+        window_sharded = (
+            n_dev > 1
+            and num_windows % n_dev == 0
+            and (n_dev & (n_dev - 1)) == 0
+        )
+        kw = num_windows // n_dev if window_sharded else num_windows
+        order = bpr_order(kw, chunk_size, bpr_threads)
+        order_flat = jnp.asarray(order.reshape(-1))
 
         @partial(
             shard_map,
@@ -274,6 +289,66 @@ class ShardedMsmEngine(CuzkMsmEngine):
                 group, arr, outb, flags, nb_total,
                 interpret=interpret,
             )
+            if window_sharded:
+                # per-chip PARTIAL buckets, window-major
+                buckets = permute_buckets(group, blocks, layout)
+                # Bucket-weighted reduction is linear in the bucket
+                # values, so true buckets = group-sum of the chips'
+                # partials.  Reduce-scatter over the window axis by
+                # recursive halving: log2(D) ppermute+add rounds, each
+                # chip ends with the TRUE buckets of its window block
+                # [idx*kw, (idx+1)*kw) and runs BPR on kw windows only.
+                # ICI volume: ~(1 - 1/D) * bucket bytes, point-adds:
+                # ~num_buckets/D per chip — both per-chip costs shrink
+                # with D (vs the replicated-BPR fallback's fixed term).
+                idx = jax.lax.axis_index(AXIS)
+                cur = buckets
+                width = num_windows
+                bit = n_dev >> 1
+                while bit >= 1:
+                    half = width // 2
+                    lo = type(cur)(*(c[:, : half * h] for c in cur))
+                    hi = type(cur)(*(c[:, half * h :] for c in cur))
+                    keep_low = (idx & bit) == 0
+                    send = type(cur)(
+                        *(
+                            jnp.where(keep_low, chi, clo)
+                            for clo, chi in zip(lo, hi)
+                        )
+                    )
+                    recv = type(cur)(
+                        *(
+                            jax.lax.ppermute(
+                                c, AXIS,
+                                [(i, i ^ bit) for i in range(n_dev)],
+                            )
+                            for c in send
+                        )
+                    )
+                    keep = type(cur)(
+                        *(
+                            jnp.where(keep_low, clo, chi)
+                            for clo, chi in zip(lo, hi)
+                        )
+                    )
+                    cur = fused_add(group, keep, recv)
+                    width = half
+                    bit >>= 1
+                # BPR on this chip's kw true windows
+                pre = type(cur)(
+                    *(jnp.take(c, order_flat, axis=1) for c in cur)
+                )
+                wsums = reduce_buckets_prearranged(
+                    group, pre, kw, chunk_size, bpr_threads
+                )
+                stacked = jnp.stack(
+                    [from_mont(ctx, c) for c in wsums]
+                )  # (C, W, kw)
+                gathered = jax.lax.all_gather(stacked, AXIS)  # (D, C, W, kw)
+                # chip d owns windows [d*kw, (d+1)*kw): concat in order
+                return jnp.concatenate(
+                    [gathered[d] for d in range(n_dev)], axis=2
+                )
             buckets = permute_buckets(group, blocks, layout, order=order)
             wsums = reduce_buckets_prearranged(
                 group, buckets, num_windows, chunk_size, bpr_threads
