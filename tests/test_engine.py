@@ -123,3 +123,35 @@ def test_g1_batched_msm(g1_case):
     assert (results[0]["x"], results[0]["y"]) == expected
     want2 = crv.g1_to_affine(naive_msm(pts, scalars2, G1))
     assert (results[1]["x"], results[1]["y"]) == want2
+
+
+def test_prewarm_populates_cache(monkeypatch):
+    """prewarm compiles the size-class programs the real call then hits."""
+    from webgpu_msm_bls12_377_tpu.models.cuzk import CuzkMsmEngine
+    from webgpu_msm_bls12_377_tpu.ops import smvp_stream as ss
+    from webgpu_msm_bls12_377_tpu.params import CurveId
+
+    monkeypatch.setattr(ss, "LANES", 8)
+    eng = CuzkMsmEngine(
+        CurveId.BLS12_377, chunk_size=4, smvp_mode="stream-interpret",
+        num_bpr_threads=8,
+    )
+    n = 64
+    t = eng.prewarm(n, 4, background=True)
+    t.join()
+    keys = [k for k in CuzkMsmEngine._compiled if k[1] in ("splan", "smain")]
+    assert any(k[1] == "splan" and k[3] == n for k in keys)
+    assert any(k[1] == "smain" and k[3] == n for k in keys)
+    # a real MSM after prewarm must reuse the cached programs (no growth)
+    rng = random.Random("prewarm")
+    pts = [
+        crv.g1_scalar_mult(crv.G1_GENERATOR, rng.randrange(1, 1 << 64))
+        for _ in range(n)
+    ]
+    aff = [crv.g1_to_affine(p) for p in pts]
+    ks = [rng.randrange(0, 1 << 253) for _ in range(n)]
+    before = len(CuzkMsmEngine._compiled)
+    got = eng.compute_msm(aff, ks)
+    want = crv.g1_to_affine(naive_msm(pts, ks, G1))
+    assert (got["x"], got["y"]) == want
+    assert len(CuzkMsmEngine._compiled) == before

@@ -557,6 +557,68 @@ class CuzkMsmEngine:
 
     # -- public API ---------------------------------------------------------
 
+    def prewarm(self, n: int, chunk_size: int | None = None,
+                background: bool = False):
+        """Compile the size-class programs for an expected input size.
+
+        The cold path costs ~70-90 s of (remote) XLA+Mosaic compilation
+        per size class on this platform; a serving deployment knows its
+        sizes ahead of time and can hide that behind input staging (at
+        2^20 the wire transfer alone is ~2 min through this
+        environment's tunnel).  prewarm runs one garbage-input MSM of
+        the right shapes through the stream pipeline — every op is
+        branch-free, so arbitrary limb values are safe — which
+        populates the compiled-program cache exactly like a real first
+        call (AOT .lower().compile() would not warm jit's dispatch
+        cache).  The slab-count size class is learned from a random
+        scalar set, i.e. the class real runs of this n land in.
+
+        background=True runs it in a daemon thread (XLA compilation
+        releases the GIL) and returns the Thread; join() it or just let
+        the first real call race it — the engine cache is shared.
+        """
+        if background:
+            import threading
+
+            t = threading.Thread(
+                target=self.prewarm, args=(n, chunk_size), daemon=True
+            )
+            t.start()
+            return t
+        chunk = chunk_size or self.chunk_size_override or choose_chunk_size(n)
+        if self._select_smvp(chunk, n) != "stream":
+            # non-stream paths compile per window round-class, which is
+            # input-dependent; a garbage run warms plan + likely mains
+            rng = np.random.RandomState(7)
+            sw = rng.randint(0, 1 << 32, size=(8, n)).astype(np.uint32)
+            sw[7] &= 0x1FFFFFFF
+            pw = np.zeros((2, self.coord_bytes // 4, n), np.uint32)
+            self.msm_device(pw, sw, chunk)
+            return None
+        interp = self.smvp_mode == "stream-interpret"
+        plan_fn = self._cache_get(
+            (self.curve, "splan", chunk, n),
+            lambda: self._build_stream_plan_fn(chunk),
+        )
+        rng = np.random.RandomState(7)
+        sw = rng.randint(0, 1 << 32, size=(8, n)).astype(np.uint32)
+        sw[7] &= 0x1FFFFFFF  # canonical-range scalars
+        pw = np.zeros((2, self.coord_bytes // 4, n), np.uint32)
+        table, sorted_vals, layout = plan_fn(
+            jnp.asarray(pw), jnp.asarray(sw)
+        )
+        s_slabs = slab_class(int(np.asarray(layout.total_slabs)), n)
+        main_fn = self._cache_get(
+            (
+                self.curve, "smain", chunk, n, s_slabs,
+                self.num_bpr_threads, interp,
+            ),
+            lambda: self._build_stream_main_fn(chunk, s_slabs, interp),
+        )
+        coords = main_fn(table, sorted_vals, layout)
+        np.asarray(coords[0][:1, :1])  # fence: compile fully done
+        return None
+
     def msm_device(self, point_words, scalar_words, chunk_size: int):
         """Run the jitted pipeline; returns per-window limb coords.
 
