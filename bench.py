@@ -43,6 +43,16 @@ def bench_batch(args, curve, n, chunk_size, engine):
 
     power = int(np.log2(n))
     assert (1 << power) == n, "--n must be a power of two in batch mode"
+    # the pipelined schedule below IS the stream batch path; refuse
+    # configurations it cannot honor instead of silently running it
+    if args.sharded:
+        sys.exit("--batch with --sharded: use engine.compute_msm_batch "
+                 "(serial sharded runs); the pipelined bench is "
+                 "single-chip")
+    if engine._select_smvp(chunk_size, n) != "stream":
+        sys.exit(f"--batch requires the streamed SMVP path "
+                 f"(smvp_mode={args.smvp_mode!r}, chunk_size={chunk_size} "
+                 f"resolves to {engine._select_smvp(chunk_size, n)!r})")
     k = args.batch
     case = testdata.make_batch_case(curve, power, k)
     pw_dev = jnp.asarray(case.point_words)

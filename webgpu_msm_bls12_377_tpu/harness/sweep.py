@@ -127,7 +127,7 @@ def run_scaling(curve, power, num_runs, device_counts, same_point=False):
     from ..parallel.mesh import ShardedMsmEngine, make_mesh
 
     rows = []
-    base_tput = None
+    base_per_chip = None  # points/s/chip of the first non-skipped count
     for d in device_counts:
         devices = jax.devices()[:d]
         if len(devices) < d:
@@ -137,12 +137,16 @@ def run_scaling(curve, power, num_runs, device_counts, same_point=False):
         row = run_power(engine, curve, power, num_runs, same_point=same_point)
         row["devices"] = d
         tput = row["points_per_s"]
-        row["points_per_s_per_chip"] = round(tput / d, 1)
-        if base_tput is None:
-            base_tput = tput
+        per_chip = tput / d
+        row["points_per_s_per_chip"] = round(per_chip, 1)
+        # efficiency = per-chip throughput retention vs the baseline
+        # count (NOT tput/(d*base_tput), which double-counts the
+        # baseline's own chips when the list doesn't start at D=1)
+        if base_per_chip is None:
+            base_per_chip = per_chip
             row["efficiency"] = 1.0
         else:
-            row["efficiency"] = round(tput / (d * base_tput), 3)
+            row["efficiency"] = round(per_chip / base_per_chip, 3)
         rows.append(row)
     return rows
 

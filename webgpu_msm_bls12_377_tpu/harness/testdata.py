@@ -241,19 +241,34 @@ def make_bench_case(
     key = f"{tag}:{power}:{seed}"
     goldens = load_goldens()
     pinned = key in goldens
+    # Entry format [hex_x, hex_y, oracle_checked]: the third element
+    # records whether the independent native C++ oracle ever verified
+    # this pin, so re-loads report the TRUTH rather than assuming every
+    # pin was cross-checked (a pin created with native unavailable or
+    # cross_check=False is only the known-k identity re-derivation).
     oracle_checked = False
     if pinned:
-        gx, gy = (int(v, 16) for v in goldens[key])
+        entry = goldens[key]
+        gx, gy = (int(v, 16) for v in entry[:2])
         if (gx, gy) != expected:
             raise AssertionError(
                 f"golden mismatch for {key}: registry vs known-k identity"
             )
+        oracle_checked = bool(entry[2]) if len(entry) > 2 else False
+        if not oracle_checked and cross_check:
+            # upgrade a never-verified pin when the oracle is available
+            oracle_checked = _native_cross_check(
+                curve, point_words, scalar_words, expected
+            )
+            if oracle_checked:
+                goldens[key] = [hex(expected[0]), hex(expected[1]), True]
+                save_goldens(goldens)
     else:
         if cross_check:
             oracle_checked = _native_cross_check(
                 curve, point_words, scalar_words, expected
             )
-        goldens[key] = [hex(expected[0]), hex(expected[1])]
+        goldens[key] = [hex(expected[0]), hex(expected[1]), oracle_checked]
         save_goldens(goldens)
     return BenchCase(
         curve=curve,
@@ -261,7 +276,7 @@ def make_bench_case(
         scalar_words=scalar_words,
         expected=expected,
         golden_pinned=pinned,
-        oracle_checked=oracle_checked or pinned,
+        oracle_checked=oracle_checked,
     )
 
 
@@ -326,7 +341,7 @@ def make_batch_case(
     for i, sc in enumerate(scalar_lists):
         key = f"{tag}:{power}:{seed}:batch{i}"
         if key in goldens:
-            expecteds.append(tuple(int(v, 16) for v in goldens[key]))
+            expecteds.append(tuple(int(v, 16) for v in goldens[key][:2]))
             continue
         t = 0
         for s, k in zip(sc, ks):

@@ -20,6 +20,7 @@ force_recompile flag defeats the cache to measure cold-compile time.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from typing import Any, Sequence
 
@@ -76,6 +77,21 @@ def choose_chunk_size(input_size: int) -> int:
     return 16 if input_size >= 65536 else 4
 
 
+def mont_point_table(ctx, group, point_words) -> jnp.ndarray:
+    """Wire-format point words -> (C, W, N) Montgomery coord planes.
+
+    The one table-build used by every plan program (single-chip legacy/
+    fused/stream and both sharded variants): x, y through the fused
+    Montgomery entry, plus t = x*y for extended Edwards coordinates
+    (convert_point_coords...template.wgsl:41-144 analogue).
+    """
+    xm = u32_words_to_limbs_mont(ctx, point_words[0])
+    ym = u32_words_to_limbs_mont(ctx, point_words[1])
+    if isinstance(group, EdwardsOps):
+        return jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
+    return jnp.stack([xm, ym])
+
+
 class CuzkMsmEngine:
     """End-to-end MSM engine for one curve.
 
@@ -90,6 +106,9 @@ class CuzkMsmEngine:
     #: unbounded numbers of compiled executables.
     _compiled: OrderedDict[tuple, Any] = OrderedDict()
     _CACHE_MAX = 64
+    #: guards _compiled: background prewarm threads insert/evict
+    #: concurrently with live compute_msm lookups
+    _cache_lock = threading.Lock()
 
     def __init__(
         self,
@@ -143,16 +162,11 @@ class CuzkMsmEngine:
 
     def _build_plan_fn(self, chunk_size: int):
         ctx = self.ctx
+        group = self.group
         num_windows = SCALAR_BITS // chunk_size
-        is_edwards = isinstance(self.group, EdwardsOps)
 
         def plan_fn(point_words, scalar_words):
-            xm = u32_words_to_limbs_mont(ctx, point_words[0])
-            ym = u32_words_to_limbs_mont(ctx, point_words[1])
-            if is_edwards:
-                table = jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
-            else:
-                table = jnp.stack([xm, ym])
+            table = mont_point_table(ctx, group, point_words)
             digits = decompose_scalars_signed(
                 scalar_words, chunk_size, num_windows
             )
@@ -206,15 +220,9 @@ class CuzkMsmEngine:
         ctx = self.ctx
         group = self.group
         num_windows = SCALAR_BITS // chunk_size
-        is_edwards = isinstance(self.group, EdwardsOps)
 
         def plan_fn(point_words, scalar_words):
-            xm = u32_words_to_limbs_mont(ctx, point_words[0])
-            ym = u32_words_to_limbs_mont(ctx, point_words[1])
-            if is_edwards:
-                table = jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
-            else:
-                table = jnp.stack([xm, ym])
+            table = mont_point_table(ctx, group, point_words)
             digits = decompose_scalars_signed(
                 scalar_words, chunk_size, num_windows
             )
@@ -265,15 +273,9 @@ class CuzkMsmEngine:
         ctx = self.ctx
         group = self.group
         num_windows = SCALAR_BITS // chunk_size
-        is_edwards = isinstance(self.group, EdwardsOps)
 
         def plan_fn(point_words, scalar_words):
-            xm = u32_words_to_limbs_mont(ctx, point_words[0])
-            ym = u32_words_to_limbs_mont(ctx, point_words[1])
-            if is_edwards:
-                table = jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
-            else:
-                table = jnp.stack([xm, ym])
+            table = mont_point_table(ctx, group, point_words)
             digits = decompose_scalars_signed(
                 scalar_words, chunk_size, num_windows
             )
@@ -318,16 +320,11 @@ class CuzkMsmEngine:
     def _build_stream_pprep_fn(self):
         ctx = self.ctx
         group = self.group
-        is_edwards = isinstance(self.group, EdwardsOps)
 
         def pprep_fn(point_words):
-            xm = u32_words_to_limbs_mont(ctx, point_words[0])
-            ym = u32_words_to_limbs_mont(ctx, point_words[1])
-            if is_edwards:
-                table = jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
-            else:
-                table = jnp.stack([xm, ym])
-            return build_signed_table(group, table)
+            return build_signed_table(
+                group, mont_point_table(ctx, group, point_words)
+            )
 
         return pprep_fn
 
@@ -380,7 +377,9 @@ class CuzkMsmEngine:
             jnp.stack([layout.total_slabs for _, layout in plans])
         )
         coords_batch = []
-        for (sorted_vals, layout), total_slabs in zip(plans, all_slabs):
+        for i, total_slabs in enumerate(all_slabs):
+            sorted_vals, layout = plans[i]
+            plans[i] = None  # drop the ~64 MiB/set plan refs as consumed
             s_slabs = slab_class(int(total_slabs), n)
             main_fn = self._cache_get(
                 (
@@ -392,6 +391,7 @@ class CuzkMsmEngine:
                 ),
             )
             coords_batch.append(main_fn(signed_table, sorted_vals, layout))
+            del sorted_vals, layout
         # one transfer for every set's (tiny) window sums, then host Horner
         host_coords = jax.device_get(coords_batch)
         return [
@@ -486,20 +486,29 @@ class CuzkMsmEngine:
         return self._cache_get(key, build)
 
     def _cache_get(self, key: tuple, build) -> Any:
-        """LRU-bounded compiled-program cache (see _compiled)."""
+        """LRU-bounded compiled-program cache (see _compiled).
+
+        The lock covers every read-modify-write pair: a background
+        prewarm thread's insert+evict racing a live lookup's
+        get+move_to_end would otherwise KeyError on a just-evicted key.
+        Building the jit wrapper stays outside the lock (compilation can
+        take minutes; a duplicate wrapper is harmless — last one wins).
+        """
         cache = CuzkMsmEngine._compiled
         if not self.force_recompile:
-            fn = cache.get(key)
-            if fn is not None:
-                cache.move_to_end(key)
-                return fn
+            with self._cache_lock:
+                fn = cache.get(key)
+                if fn is not None:
+                    cache.move_to_end(key)
+                    return fn
         # a fresh jit wrapper defeats jax's executable cache, mirroring
         # the reference's injected-dead-code recompile trick
         fn = jax.jit(build())
-        cache[key] = fn
-        cache.move_to_end(key)
-        while len(cache) > self._CACHE_MAX:
-            cache.popitem(last=False)
+        with self._cache_lock:
+            cache[key] = fn
+            cache.move_to_end(key)
+            while len(cache) > self._CACHE_MAX:
+                cache.popitem(last=False)
         return fn
 
     def _window_groups(self, wmax) -> dict[int, tuple[int, ...]]:
@@ -578,8 +587,6 @@ class CuzkMsmEngine:
         the first real call race it — the engine cache is shared.
         """
         if background:
-            import threading
-
             t = threading.Thread(
                 target=self.prewarm, args=(n, chunk_size), daemon=True
             )

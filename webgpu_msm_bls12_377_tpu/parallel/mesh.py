@@ -34,7 +34,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..models.cuzk import SCALAR_BITS, CuzkMsmEngine, choose_chunk_size
+from ..models.cuzk import (
+    SCALAR_BITS,
+    CuzkMsmEngine,
+    choose_chunk_size,
+    mont_point_table,
+)
 from ..ops.bpr import bpr_order, reduce_buckets, reduce_buckets_prearranged
 from ..ops.pallas_kernels import fused_add
 from ..ops.buckets import (
@@ -84,9 +89,9 @@ class ShardedMsmEngine(CuzkMsmEngine):
 
     def _build_sharded_plan_fn(self, chunk_size: int):
         ctx = self.ctx
+        group = self.group
         mesh = self.mesh
         num_windows = SCALAR_BITS // chunk_size
-        is_edwards = isinstance(self.group, EdwardsOps)
 
         @partial(
             shard_map,
@@ -102,12 +107,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
             check_vma=False,
         )
         def plan_fn(point_words, scalar_words):
-            xm = u32_words_to_limbs_mont(ctx, point_words[0])
-            ym = u32_words_to_limbs_mont(ctx, point_words[1])
-            if is_edwards:
-                table = jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
-            else:
-                table = jnp.stack([xm, ym])
+            table = mont_point_table(ctx, group, point_words)
             digits = decompose_scalars_signed(
                 scalar_words, chunk_size, num_windows
             )
@@ -187,7 +187,6 @@ class ShardedMsmEngine(CuzkMsmEngine):
         group = self.group
         mesh = self.mesh
         num_windows = SCALAR_BITS // chunk_size
-        is_edwards = isinstance(self.group, EdwardsOps)
 
         @partial(
             shard_map,
@@ -208,12 +207,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
             check_vma=False,
         )
         def plan_fn(point_words, scalar_words):
-            xm = u32_words_to_limbs_mont(ctx, point_words[0])
-            ym = u32_words_to_limbs_mont(ctx, point_words[1])
-            if is_edwards:
-                table = jnp.stack([xm, ym, mont_mul(ctx, xm, ym)])
-            else:
-                table = jnp.stack([xm, ym])
+            table = mont_point_table(ctx, group, point_words)
             digits = decompose_scalars_signed(
                 scalar_words, chunk_size, num_windows
             )
@@ -475,3 +469,51 @@ class ShardedMsmEngine(CuzkMsmEngine):
                 chunk_size, rounds, windows
             )
         return self._cache_get(key, build)
+
+    def compute_msm_batch(self, points, scalars_batch):
+        """Batched MSM on the mesh: serial sharded runs.
+
+        The base class's pipelined _msm_batch_stream builds SINGLE-device
+        programs, which would silently bypass the mesh (and on a
+        multi-host pod have every process redundantly compute the full
+        MSM); each set here runs through the sharded msm_device instead.
+        Compiled programs are shared across the batch via the size-class
+        cache, so only the first set pays compilation.
+        """
+        point_words = self._prepare_points(points)
+        results = []
+        for scalars in scalars_batch:
+            sw = self._prepare_scalars(scalars)
+            self._validate(point_words.shape[-1], sw)
+            chunk = self.chunk_size_override or choose_chunk_size(
+                point_words.shape[-1]
+            )
+            coords = self.msm_device(point_words, sw, chunk)
+            results.append(self._finalize(coords, chunk))
+        return results
+
+    def prewarm(self, n: int, chunk_size: int | None = None,
+                background: bool = False):
+        """Compile the sharded size-class programs ahead of time.
+
+        The base implementation warms the single-device program keys,
+        which the sharded engine never looks up; this runs one
+        garbage-input MSM through the sharded msm_device (branch-free
+        ops make arbitrary limb values safe), matching the keys real
+        calls hit.
+        """
+        if background:
+            import threading
+
+            t = threading.Thread(
+                target=self.prewarm, args=(n, chunk_size), daemon=True
+            )
+            t.start()
+            return t
+        chunk = chunk_size or self.chunk_size_override or choose_chunk_size(n)
+        rng = np.random.RandomState(7)
+        sw = rng.randint(0, 1 << 32, size=(8, n)).astype(np.uint32)
+        sw[7] &= 0x1FFFFFFF
+        pw = np.zeros((2, self.coord_bytes // 4, n), np.uint32)
+        self.msm_device(pw, sw, chunk)
+        return None
