@@ -216,8 +216,8 @@ class G1Ops:
         t4 = fa(t4, Y1)               # b<=6
         Y3 = mm(X2, Z1)               # 1*4      -> b<=2
         Y3 = fa(Y3, X1)               # b<=6
-        X3 = fa(t0, t0)               # b<=4
-        t0 = fa(X3, t0)               # b<=6
+        t0 = lazy_triple(ctx, t0)     # RCB's fa(fa(t0,t0),t0): one carry
+        #                               pass instead of two; b<=6
         t2 = lazy_triple(ctx, Z1)     # b<=12
         Z3 = fa(t1, t2)               # b<=14
         t1 = lazy_sub(ctx, t1, t2, self._kp[12])  # b<=14
