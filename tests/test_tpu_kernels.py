@@ -128,3 +128,24 @@ def test_stream_msm_end_to_end_distinct_points():
     got = eng.compute_msm(aff, ks)
     want = crv.g1_to_affine(naive_msm(pts, ks, G1))
     assert (got["x"], got["y"]) == want
+
+
+def test_stream_msm_edwards_distinct_points():
+    """Edwards curve through the compiled streamed path (4-coord kernels)."""
+    from webgpu_msm_bls12_377_tpu.models.cuzk import CuzkMsmEngine
+    from webgpu_msm_bls12_377_tpu.reference.msm import EDWARDS, naive_msm
+
+    rng = random.Random("tpu-ed")
+    n = 1024
+    pts = [
+        crv.ed_scalar_mult(crv.ED_GENERATOR, rng.randrange(1, 1 << 64))
+        for _ in range(n)
+    ]
+    aff = [crv.ed_to_affine(p) for p in pts]
+    ks = [rng.randrange(0, 1 << 253) for _ in range(n)]
+    eng = CuzkMsmEngine(
+        CurveId.EDWARDS_BLS12, chunk_size=16, smvp_mode="stream"
+    )
+    got = eng.compute_msm(aff, ks)
+    want = crv.ed_to_affine(naive_msm(pts, ks, EDWARDS))
+    assert (got["x"], got["y"]) == want
