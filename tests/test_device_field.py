@@ -291,3 +291,54 @@ class TestLazyDomain:
                     group
                 ).__name__
 
+
+    def test_lazy_domain_bound_invariant(self):
+        """50 chained lazy mixed adds: coords stay < LAZY_BOUND*p with
+        canonical limbs (the kernel's closure contract)."""
+        from webgpu_msm_bls12_377_tpu.ops.curve import G1Ops
+        from webgpu_msm_bls12_377_tpu.ops.field import to_mont
+        from webgpu_msm_bls12_377_tpu.reference import curve as ocurve
+
+        dfield, _ = self._ctx()
+        group = G1Ops()
+        ctx = group.ctx
+        p = ctx.params.p
+        rng = random.Random(11)
+        pts = [
+            ocurve.g1_to_affine(
+                ocurve.g1_scalar_mult(
+                    ocurve.G1_GENERATOR, rng.randrange(1, 1 << 128)
+                )
+            )
+            for _ in range(8)
+        ]
+        xs = jax.jit(lambda a: to_mont(ctx, a))(
+            self._vals(ctx, [q[0] for q in pts])
+        )
+        ys = jax.jit(lambda a: to_mont(ctx, a))(
+            self._vals(ctx, [q[1] for q in pts])
+        )
+        acc = group.zero((8,))
+        step = jax.jit(group.add_mixed_lazy)
+        for _ in range(50):
+            acc = step(acc, (xs, ys))
+            for c in acc:
+                arr = np.asarray(c)
+                assert int(arr.max()) <= ctx.mask  # canonical limbs
+                vals = self._back(ctx, arr)
+                assert all(v < group.LAZY_BOUND * p for v in vals)
+        # and the canon of the result is the true 50*sum
+        can = jax.jit(group.canon)(acc)
+        coords = [
+            self._back(
+                ctx,
+                np.asarray(jax.jit(lambda c: dfield.from_mont(ctx, c))(c)),
+            )
+            for c in can
+        ]
+        for j in range(8):
+            want = ocurve.g1_scalar_mult(
+                ocurve.ProjectivePoint(pts[j][0], pts[j][1], 1), 50
+            )
+            gotp = ocurve.ProjectivePoint(*(coords[c][j] for c in range(3)))
+            assert ocurve.g1_eq(gotp, want), j
