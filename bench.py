@@ -156,6 +156,33 @@ def main():
 
     import jax
 
+    # Fail fast if the device backend is unreachable (this environment's
+    # axon relay can die; jax.devices() then blocks forever).  A probe
+    # thread with a deadline turns an indefinite hang into a recorded
+    # error artifact.
+    import threading
+
+    probe_ok: list = []
+    probe = threading.Thread(
+        target=lambda: probe_ok.append(len(jax.devices())), daemon=True
+    )
+    probe.start()
+    probe.join(180)
+    if not probe_ok:
+        print(
+            json.dumps(
+                {
+                    "metric": "msm_throughput",
+                    "value": 0,
+                    "unit": "points/s",
+                    "vs_baseline": 0,
+                    "error": "device backend unreachable after 180s "
+                             "(axon relay down?)",
+                }
+            )
+        )
+        return 2
+
     # Persistent compile cache: cold runs reuse executables across processes
     cache_dir = os.environ.get(
         "MSM_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
