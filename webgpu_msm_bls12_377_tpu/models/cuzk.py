@@ -134,6 +134,14 @@ class CuzkMsmEngine:
         self.ctx = self.group.ctx
         self.coord_bytes = 48 if curve == CurveId.BLS12_377 else 32
         self.force_recompile = force_recompile
+        # BPR's lane layout (bpr_order, the shift-reduce fold) needs a
+        # power-of-two thread count dividing the bucket count; anything
+        # else would silently drop bucket slots (ops/bpr.py)
+        if num_bpr_threads < 1 or num_bpr_threads & (num_bpr_threads - 1):
+            raise ValueError(
+                f"num_bpr_threads must be a power of two, got "
+                f"{num_bpr_threads}"
+            )
         self.num_bpr_threads = num_bpr_threads
         self.chunk_size_override = chunk_size
         assert smvp_mode in (
@@ -381,6 +389,7 @@ class CuzkMsmEngine:
             sorted_vals, layout = plans[i]
             plans[i] = None  # drop the ~64 MiB/set plan refs as consumed
             s_slabs = slab_class(int(total_slabs), n)
+            assert s_slabs >= int(total_slabs), (s_slabs, int(total_slabs))
             main_fn = self._cache_get(
                 (
                     self.curve, "smain", chunk_size, n, s_slabs,
@@ -409,7 +418,11 @@ class CuzkMsmEngine:
         signed_table, sorted_vals, layout = plan_fn(
             jnp.asarray(point_words), jnp.asarray(scalar_words)
         )
-        s_slabs = slab_class(int(np.asarray(layout.total_slabs)), n)
+        total = int(np.asarray(layout.total_slabs))
+        s_slabs = slab_class(total, n)
+        # contract: a short class would silently truncate the slab stream
+        # AND skip the last-slab canons (ops/smvp_stream.py:gather_slabs)
+        assert s_slabs >= total, (s_slabs, total)
         main_fn = self._cache_get(
             (
                 self.curve, "smain", chunk_size, n, s_slabs,

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .curve import select
 from .pallas_kernels import fused_add, fused_running_add, masked_add_and_double
 
 
@@ -44,6 +43,10 @@ def bpr_order(
     """
     h = 1 << (chunk_size - 1)
     tc = min(num_threads, h)
+    assert tc >= 1 and tc & (tc - 1) == 0, (
+        f"num_threads must be a power of two (got {num_threads}): a "
+        f"non-dividing thread count would silently drop bucket slots"
+    )
     bpt = h // tc
     wi = np.repeat(np.arange(num_windows, dtype=np.int32), tc)
     tf = np.tile(np.arange(tc, dtype=np.int32), num_windows)
@@ -104,6 +107,8 @@ def reduce_buckets_prearranged(
 
 def _bpr_stage2_and_fold(group, m, g, num_windows, t_count, bpt):
     """Stage 2 (g += m * s) + per-window tree fold, shared by both paths."""
+    # one lane-layout scaffold for stage 2 AND the fold below
+    wi = np.repeat(np.arange(num_windows, dtype=np.int32), t_count)
     tf = np.tile(np.arange(t_count, dtype=np.int32), num_windows)
     s_lane = (bpt * (t_count - 1 - tf)).astype(np.int64)
     nbits = max(int(s_lane.max()).bit_length(), 1)
@@ -126,12 +131,9 @@ def _bpr_stage2_and_fold(group, m, g, num_windows, t_count, bpt):
     # i+off, which is in-window for every lane that still influences
     # lane 0 (i < off <= T/2 => i+off < T); dead lanes read a clamped
     # partner and compute garbage that never flows into lane 0.
-    lanes = num_windows * t_count
-    wi_l = np.repeat(np.arange(num_windows, dtype=np.int32), t_count)
-    tf_l = np.tile(np.arange(t_count, dtype=np.int32), num_windows)
     off = t_count // 2
     while off >= 1:
-        partner = wi_l * t_count + np.minimum(tf_l + off, t_count - 1)
+        partner = wi * t_count + np.minimum(tf + off, t_count - 1)
         shifted = type(g)(
             *(jnp.take(c, jnp.asarray(partner), axis=1) for c in g)
         )
@@ -159,8 +161,10 @@ def reduce_buckets(
     """
     h = 1 << (chunk_size - 1)
     t_count = min(num_threads, h)
+    assert t_count >= 1 and t_count & (t_count - 1) == 0, (
+        f"num_threads must be a power of two (got {num_threads})"
+    )
     bpt = h // t_count
-    lanes = num_windows * t_count
 
     wi = np.repeat(np.arange(num_windows, dtype=np.int32), t_count)
     tf = np.tile(np.arange(t_count, dtype=np.int32), num_windows)

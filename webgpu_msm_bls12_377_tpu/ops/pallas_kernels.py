@@ -50,6 +50,23 @@ def _supported(batch: int, interpret: bool = False) -> bool:
     return interpret or _on_tpu()
 
 
+def _is_edwards_cls(group_cls) -> bool:
+    """THE dispatch predicate for the kernel constant contract.
+
+    _const_arrays / _rebuild_group / the kernel-body builders must all
+    agree on whether a d_mont slot exists; a mixed is/isinstance/name
+    check would silently shift the k*p offsets for subclasses.
+    """
+    return issubclass(group_cls, EdwardsOps)
+
+
+def n_const_arrays(group_cls) -> int:
+    """Number of (W, 1) constant inputs _const_arrays ships for a class."""
+    return 2 + (1 if _is_edwards_cls(group_cls) else 0) + len(
+        group_cls.LAZY_KS
+    )
+
+
 def _const_arrays(group):
     """Field constants shipped into the kernel as (W, 1) inputs.
 
@@ -60,7 +77,7 @@ def _const_arrays(group):
     """
     ctx = group.ctx
     consts = [ctx.p_col, ctx.one_mont_col]
-    if isinstance(group, EdwardsOps):
+    if _is_edwards_cls(type(group)):
         consts.append(group.d_mont_col)
     consts.extend(group._kp[k] for k in group.LAZY_KS)
     return consts
@@ -77,7 +94,7 @@ def _rebuild_group(group_cls, ctx, const_vals):
     g = object.__new__(group_cls)
     g.ctx = kctx
     i = 2
-    if group_cls is EdwardsOps:
+    if _is_edwards_cls(group_cls):
         g.d_mont_col = const_vals[i]
         i += 1
     g._kp = dict(zip(group_cls.LAZY_KS, const_vals[i:]))

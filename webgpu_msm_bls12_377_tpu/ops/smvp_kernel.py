@@ -50,7 +50,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .curve import EdwardsOps
-from .pallas_kernels import _const_arrays, _on_tpu, _rebuild_group
+from .pallas_kernels import (
+    _const_arrays,
+    _on_tpu,
+    _rebuild_group,
+    n_const_arrays,
+)
 
 BLOCK = 256  # bucket lanes per kernel program
 R_TILE = 32  # rounds staged per DMA tile: (BLOCK, R_TILE, CWP) VMEM scratch
@@ -153,9 +158,7 @@ def pregather_signed(
 def _kernel_body(group_cls, ctx, n_coords, n_aff, w, total, r_tile, block):
     """The Pallas kernel: per-lane segment DMA + in-VMEM bucket rounds."""
 
-    n_consts = (2 if group_cls.__name__ == "G1Ops" else 3) + len(
-        group_cls.LAZY_KS
-    )
+    n_consts = n_const_arrays(group_cls)
 
     def kernel(*refs):
         # [rounds(prefetch)] [starts, lens, consts..., data] [outs] [scratch, sem]

@@ -53,7 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .curve import EdwardsOps
 from .field import field_neg
-from .pallas_kernels import _const_arrays, _on_tpu, _rebuild_group
+from .pallas_kernels import (
+    _const_arrays,
+    _on_tpu,
+    _rebuild_group,
+    n_const_arrays,
+)
 
 LANES = 256  # bucket lanes per block (= columns per slab)
 CWP = 64  # words per padded point row; word MASK_WORD carries validity
@@ -224,9 +229,7 @@ def gather_slabs(
 
 
 def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w):
-    n_consts = (2 if group_cls.__name__ == "G1Ops" else 3) + len(
-        group_cls.LAZY_KS
-    )
+    n_consts = n_const_arrays(group_cls)
 
     def kernel(*refs):
         # [outb, flags (prefetch)] [consts..., data] [outs...]
@@ -347,17 +350,15 @@ def permute_buckets(group, blocks, layout: StreamLayout, order=None):
     perm = layout.perm
     if order is not None:
         perm = jnp.take(perm, jnp.asarray(order, jnp.int32).reshape(-1))
-    coords = []
-    for c, z in zip(blocks, group.zero((1,))):
-        # kernel outputs are canonical: the stream kernel folds the
-        # lazy-domain canon into each block's last slab
-        coords.append(jnp.take(c.T, perm, axis=0).T)
+    # kernel outputs are canonical: the stream kernel folds the
+    # lazy-domain canon into each block's last slab
+    coords = [jnp.take(c.T, perm, axis=0).T for c in blocks]
     # empty buckets -> identity (lens in output order)
     lens_sel = jnp.take(layout.lens_rk.reshape(-1), perm)
     nonempty = (lens_sel > 0)[None, :]
+    zero = group.zero((1,))
     fixed = [
-        jnp.where(nonempty, c, z[:, :1])
-        for c, z in zip(coords, group.zero((1,)))
+        jnp.where(nonempty, c, z[:, :1]) for c, z in zip(coords, zero)
     ]
     return group.Point(*fixed)
 

@@ -372,7 +372,9 @@ class ShardedMsmEngine(CuzkMsmEngine):
         pw = self._put(point_words, P(None, None, AXIS))
         sw = self._put(scalar_words, P(None, AXIS))
         signed_table, sorted_vals, lay_tuple, smax = plan_fn(pw, sw)
-        s_slabs = slab_class(int(np.asarray(smax)), n // d)
+        total = int(np.asarray(smax))
+        s_slabs = slab_class(total, n // d)
+        assert s_slabs >= total, (s_slabs, total)  # see cuzk.py contract
         main_fn = self._cache_get(
             (
                 "sharded", self.curve, "smain", chunk_size, n, d, s_slabs,
