@@ -68,6 +68,7 @@ from ..params import CurveId
 from ..reference import curve as ocurve
 from ..reference import msm as omsm
 from ..reference.limbs import from_words_le_unchecked
+from ..utils import exec_cache
 
 SCALAR_BITS = 256  # 8 LE u32 words per scalar, reference wire format
 
@@ -514,9 +515,15 @@ class CuzkMsmEngine:
                 if fn is not None:
                     cache.move_to_end(key)
                     return fn
-        # a fresh jit wrapper defeats jax's executable cache, mirroring
-        # the reference's injected-dead-code recompile trick
-        fn = jax.jit(build())
+        if self.force_recompile:
+            # a fresh jit wrapper defeats jax's executable cache (and
+            # skips the disk cache), mirroring the reference's
+            # injected-dead-code recompile trick
+            fn = jax.jit(build())
+        else:
+            # disk-backed executable cache: a process restart pays a
+            # deserialize instead of the 70-90 s remote Mosaic compile
+            fn = exec_cache.wrap(key, build)
         with self._cache_lock:
             cache[key] = fn
             cache.move_to_end(key)
