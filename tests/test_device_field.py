@@ -244,6 +244,78 @@ class TestLazyDomain:
         )
         assert self._back(ctx, canon) == [x % p for x in xs]
 
+    def test_mont_mul_pair_exact(self):
+        """REDC(a*b + c*d) limb-exact vs the bigint model at the point
+        formula's worst-case bounds, plus lazy_neg (ops/field.py)."""
+        dfield, ctx = self._ctx()
+        p, r = ctx.params.p, ctx.params.r
+        rinv = pow(r, -1, p)
+        rng = random.Random(13)
+        bound_sets = [
+            (6, 14, 6, 18),   # X3 pair
+            (14, 14, 18, 6),  # Y3 pair
+            (14, 6, 6, 6),    # Z3 pair
+            (1, 1, 1, 1),
+            (18, 18, 18, 18),  # above formula maxima, still <= 8192
+        ]
+        cases = []
+        for bs in bound_sets:
+            cases.append(tuple(rng.randrange(k * p) for k in bs))
+            cases.append(tuple(k * p - 1 for k in bs))  # adversarial max
+        cols = [self._vals(ctx, [c[i] for c in cases]) for i in range(4)]
+        out = jax.jit(
+            lambda a, b, c, d: dfield.mont_mul_pair(ctx, a, b, c, d)
+        )(*cols)
+        assert int(np.asarray(out).max()) <= ctx.mask  # canonical limbs
+        for got, (va, vb, vc, vd) in zip(self._back(ctx, out), cases):
+            assert got % p == (va * vb + vc * vd) * rinv % p
+            assert got < 2 * p  # bound products <= 648 << 8192
+        ks = [2, 4, 6, 12]
+        vs = [rng.randrange(k * p) for k in ks]
+        for k, v in zip(ks, vs):
+            neg = jax.jit(lambda b: dfield.lazy_neg(ctx, b, k))(
+                self._vals(ctx, [v])
+            )
+            assert self._back(ctx, neg) == [k * p - v]
+
+    def test_add_mixed_lazy_pair_matches_add_mixed(self):
+        """Paired-product RCB mixed add == canonical add_mixed after
+        canon, chained (the stream kernel's G1 production formula)."""
+        from webgpu_msm_bls12_377_tpu.ops.curve import G1Ops
+        from webgpu_msm_bls12_377_tpu.ops.field import to_mont
+        from webgpu_msm_bls12_377_tpu.reference import curve as ocurve
+
+        rng = random.Random(17)
+        group = G1Ops()
+        ctx = group.ctx
+        p = ctx.params.p
+        pts = [
+            ocurve.g1_to_affine(
+                ocurve.g1_scalar_mult(
+                    ocurve.G1_GENERATOR, rng.randrange(1, 1 << 96)
+                )
+            )
+            for _ in range(4)
+        ]
+        aff_batch = tuple(
+            jax.jit(lambda a: to_mont(ctx, a))(
+                self._vals(ctx, [q[c] for q in pts])
+            )
+            for c in range(2)
+        )
+        acc = group.zero((4,))
+        lazy = acc
+        for _ in range(5):
+            acc = jax.jit(group.add_mixed)(acc, aff_batch)
+            lazy = jax.jit(group.add_mixed_lazy_pair)(lazy, aff_batch)
+            for c in lazy:
+                arr = np.asarray(c)
+                assert int(arr.max()) <= ctx.mask
+                assert all(v < 2 * p for v in self._back(ctx, arr))
+        lazy_c = jax.jit(group.canon)(lazy)
+        for a, b in zip(acc, lazy_c):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
     def test_add_mixed_lazy_matches_add_mixed(self):
         from webgpu_msm_bls12_377_tpu.ops.curve import G1Ops, EdwardsOps
         from webgpu_msm_bls12_377_tpu.ops.convert import ints_to_words

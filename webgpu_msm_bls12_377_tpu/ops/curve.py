@@ -45,9 +45,11 @@ from .field import (
     field_neg,
     field_sub,
     lazy_add,
+    lazy_neg,
     lazy_sub,
     lazy_triple,
     mont_mul,
+    mont_mul_pair,
 )
 
 
@@ -97,7 +99,7 @@ class G1Ops:
     #: k*p offsets used by add_mixed_lazy's lazy_subs; shipped into
     #: Pallas kernels as inputs (captured array constants are illegal
     #: there — ops/pallas_kernels.py:_const_arrays/_rebuild_group)
-    LAZY_KS = (2, 4, 12)
+    LAZY_KS = (2, 4, 6, 12)
 
     def __init__(self, ctx: FieldCtx | None = None):
         self.ctx = ctx if ctx is not None else field_ctx(self.CURVE)
@@ -233,6 +235,47 @@ class G1Ops:
         Z3 = mm(Z3, t4)               # 14*6=84   -> b<=2
         Z3 = fa(Z3, t0)               # b<=4
         return ProjG1(x=X3, y=Y3, z=Z3)
+
+    def add_mixed_lazy_pair(self, p1: ProjG1, aff) -> ProjG1:
+        """add_mixed_lazy with the three paired products reduced once.
+
+        RCB's X3/Y3/Z3 are each a sum/difference of two products; a
+        shared reduction (field.py:mont_mul_pair) costs 75% of the
+        multiplies and 70% of the adds of two interleaved mont_muls,
+        and Y3/Z3 also lose their final carry pass (the pair absorbs
+        the lazy_add).  Same contract as add_mixed_lazy: accumulator
+        < 4p, affine addend canonical; outputs < 2p.  Bound products
+        stay <= 304 << 8192, so every REDC output is < 2p.  Kernel
+        (unrolled) form only — non-kernel callers keep add_mixed_lazy.
+        """
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b, lazy=True)
+        mmp = lambda a, b, c, d: mont_mul_pair(ctx, a, b, c, d)
+        fa = lambda a, b: lazy_add(ctx, a, b)
+        X1, Y1, Z1 = p1  # b<=4 each
+        X2, Y2 = aff  # b<=1
+        t0 = mm(X1, X2)               # 4*1      -> b<=2
+        t1 = mm(Y1, Y2)               # 4*1      -> b<=2
+        t3 = fa(X2, Y2)               # b<=2
+        t4 = fa(X1, Y1)               # b<=8
+        t3 = mm(t3, t4)               # 2*8=16   -> b<=2
+        t4 = fa(t0, t1)               # b<=4
+        t3 = lazy_sub(ctx, t3, t4, self._kp[4])  # b<=6
+        t4 = mm(Y2, Z1)               # 1*4      -> b<=2
+        t4 = fa(t4, Y1)               # b<=6
+        Y3 = mm(X2, Z1)               # 1*4      -> b<=2
+        Y3 = fa(Y3, X1)               # b<=6
+        t0 = lazy_triple(ctx, t0)     # b<=6
+        t2 = lazy_triple(ctx, Z1)     # b<=12
+        Z3 = fa(t1, t2)               # b<=14
+        t1 = lazy_sub(ctx, t1, t2, self._kp[12])  # b<=14
+        Y3 = lazy_triple(ctx, Y3)     # b<=18
+        t4n = lazy_neg(ctx, t4, self._kp[6])      # 6p - t4; b<=6
+        # X3 = t3*t1 - t4*Y3, Y3 = t1*Z3 + Y3*t0, Z3 = Z3*t4 + t0*t3
+        X3 = mmp(t3, t1, t4n, Y3)     # 6*14 + 6*18 = 192  -> b<=2
+        Y3n = mmp(t1, Z3, Y3, t0)     # 14*14 + 18*6 = 304 -> b<=2
+        Z3 = mmp(Z3, t4, t0, t3)      # 14*6 + 6*6 = 120   -> b<=2
+        return ProjG1(x=X3, y=Y3n, z=Z3)
 
     def canon(self, p: ProjG1) -> ProjG1:
         """Lazy-domain point -> canonical coords (< p)."""

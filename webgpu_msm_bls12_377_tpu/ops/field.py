@@ -336,6 +336,27 @@ def lazy_sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, k) -> jnp.ndarray:
     return out
 
 
+def lazy_neg(ctx: FieldCtx, b: jnp.ndarray, kp) -> jnp.ndarray:
+    """k*p - b, exact, for b < k*p: bound(out) = k.
+
+    lazy_sub with a = 0 (one carry pass, no borrow machinery); used to
+    turn a difference of products into the sum mont_mul_pair reduces.
+
+    kp: the int multiple k, or a precomputed (W, 1) k*p limb column —
+    inside Pallas kernel bodies the column MUST be a kernel input.
+    """
+    kpc = ctx.const(kp * ctx.params.p) if isinstance(kp, int) else kp
+    mask = jnp.uint32(ctx.mask)
+    s = kpc + (mask - b)
+    one0 = jnp.concatenate(
+        [jnp.ones((1, *s.shape[1:]), U32),
+         jnp.zeros((s.shape[0] - 1, *s.shape[1:]), U32)],
+        axis=0,
+    )
+    out, _ = resolve_carries(ctx, s + one0, value_bits=ctx.word_size + 2)
+    return out
+
+
 def field_canon(
     ctx: FieldCtx, s: jnp.ndarray, bound: int, kp_cols=None
 ) -> jnp.ndarray:
@@ -459,6 +480,93 @@ def mont_mul(
         # * p/R); callers track bounds and canonicalize once at stage end
         return s
     return cond_reduce(ctx, s)
+
+
+def mont_mul_pair(
+    ctx: FieldCtx,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    c: jnp.ndarray,
+    d: jnp.ndarray,
+) -> jnp.ndarray:
+    """REDC(a*b + c*d): one shared Montgomery reduction for a sum of two
+    products — the delayed-reduction trick for the point formulas' paired
+    terms (X3/Y3/Z3 of RCB each combine two products; curve.py).
+
+    Two interleaved mont_muls plus a lazy_add cost 120 limb-row
+    multiplies, 180+ adds and 3 carry resolves; this form costs 90
+    multiplies (60 product + 30 reduction), ~130 adds and 1 resolve —
+    a 25% multiply / 30% add saving on every paired product.
+
+    Split-phase schedule (product accumulation, one carry fold, then a
+    separated REDC sweep), all in the carry-free column representation:
+
+    - product phase: 2n steps of a_i*b + c_i*d into a sliding n-row
+      window; column i is complete after step i and is emitted.  Peak
+      column sum = 2n*(2^w-1)^2 terms (w=13, n=30: 4.026e9 < 2^32).
+    - one fold pass squashes all 2n columns to < 2^w + 2^(32-w), making
+      room for the reduction's additions.
+    - REDC sweep: per column i, the quotient digit qi = n0*T[i] mod 2^w
+      and qi*p accumulate into the window exactly as in mont_mul, with
+      the finished low column's carry chained up; after n steps the
+      window holds (T + m*p)/R.
+
+    Lazy domain only (limbs canonical, values tracked by the caller):
+    output < p*(1 + bound(a)*bound(b)/8192 + bound(c)*bound(d)/8192),
+    so any bound-product sum <= 8192 keeps outputs < 2p.  For a
+    DIFFERENCE a*b - c*d, negate one operand first with lazy_neg.
+    Unrolled (Pallas kernel) form only — the straight-line structure
+    mirrors mont_mul's Mosaic-safe patterns (2-D rows, slice+concat,
+    no scans).
+    """
+    w, mask = ctx.word_size, ctx.mask
+    n = ctx.num_words
+    n0 = jnp.uint32(ctx.params.n0)
+    assert 2 * n * (2**w - 1) ** 2 < 2**32, (
+        f"pair-REDC column sums overflow u32 at word_size={w}: "
+        f"2n*(2^w-1)^2 = {2 * n * (2**w - 1) ** 2}"
+    )
+
+    batch = jnp.broadcast_shapes(
+        a.shape[1:], b.shape[1:], c.shape[1:], d.shape[1:]
+    )
+    af = jnp.broadcast_to(a, (n, *batch))
+    bf = jnp.broadcast_to(b, (n, *batch))
+    cf = jnp.broadcast_to(c, (n, *batch))
+    df = jnp.broadcast_to(d, (n, *batch))
+    pfull = jnp.broadcast_to(ctx.p_col, (n, *batch))
+    zero_row = jnp.zeros((1, *batch), dtype=U32)
+    zero_rest = jnp.zeros((n - 1, *batch), dtype=U32)
+
+    # -- product phase: T = a*b + c*d over 2n columns ----------------------
+    acc = jnp.zeros((n, *batch), dtype=U32)
+    lows = []
+    for i in range(n):
+        acc = acc + af[i : i + 1] * bf + cf[i : i + 1] * df
+        lows.append(acc[0:1])  # column i is complete
+        acc = jnp.concatenate([acc[1:], zero_row], axis=0)
+    t = jnp.concatenate([*lows, acc], axis=0)  # (2n, batch) columns of T
+
+    # -- fold: columns < 2^w + 2^(32-w); top column is product-free (max
+    # real column index is 2n-2), so no carry falls off --------------------
+    t = (t & mask) + _shift_up(t >> w)
+
+    # -- separated REDC sweep ----------------------------------------------
+    w_acc = t[:n]
+    highs = t[n:]
+    for i in range(n):
+        ti = w_acc[0:1]
+        qi = (n0 * (ti & mask)) & mask
+        carry = (ti + qi * pfull[0:1]) >> w
+        prod = qi * pfull
+        c_pad = jnp.concatenate([carry, zero_rest], axis=0)
+        w_acc = (
+            jnp.concatenate([w_acc[1:] + prod[1:], highs[i : i + 1]], axis=0)
+            + c_pad
+        )
+
+    out, _ = resolve_carries(ctx, w_acc, value_bits=32)
+    return out
 
 
 def to_mont(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:

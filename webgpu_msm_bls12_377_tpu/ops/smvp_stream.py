@@ -43,6 +43,7 @@ class (the same sync discipline as the round-1 wmax readback).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -230,6 +231,15 @@ def gather_slabs(
 
 def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w):
     n_consts = n_const_arrays(group_cls)
+    # paired-product reduction (field.py:mont_mul_pair) where the group
+    # has it (G1); MSM_PAIR_REDC=0 pins the unpaired formula for A/B
+    # microbenchmarks (set before the first compile of a size class)
+    add_name = (
+        "add_mixed_lazy_pair"
+        if hasattr(group_cls, "add_mixed_lazy_pair")
+        and os.environ.get("MSM_PAIR_REDC", "1") != "0"
+        else "add_mixed_lazy"
+    )
 
     def kernel(*refs):
         # [outb, flags (prefetch)] [consts..., data] [outs...]
@@ -256,7 +266,7 @@ def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w):
             )
             # lazy-domain add (coords < LAZY_BOUND*p, ops/curve.py):
             # skips every per-op canonical reduction
-            new = kgroup.add_mixed_lazy(kgroup.Point(*acc), aff)
+            new = getattr(kgroup, add_name)(kgroup.Point(*acc), aff)
             for o, nv, av in zip(out_refs, new, acc):
                 o[...] = jnp.where(m, nv, av)
 
