@@ -89,7 +89,14 @@ def _disk_key(logical_key: tuple) -> str:
         dev_kind = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
     except Exception:
         dev_kind = "unknown"
-    raw = repr((jax.__version__, dev_kind, _source_hash(), logical_key))
+    # env vars that select kernel VARIANTS at trace time must key the
+    # disk entries, or an A/B run could load the other variant's binary
+    variant_env = {
+        k: os.environ.get(k) for k in ("MSM_PAIR_REDC",) if k in os.environ
+    }
+    raw = repr(
+        (jax.__version__, dev_kind, _source_hash(), variant_env, logical_key)
+    )
     return hashlib.sha256(raw.encode()).hexdigest()[:32]
 
 
