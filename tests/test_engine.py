@@ -125,6 +125,28 @@ def test_g1_batched_msm(g1_case):
     assert (results[1]["x"], results[1]["y"]) == want2
 
 
+def test_pippenger_engine_both_curves(g1_case, ed_case):
+    """The classic windowed bucket method as a standalone named engine
+    (SURVEY §2 component 26 — the reference's Pippenger WebGPU engine)."""
+    from webgpu_msm_bls12_377_tpu.models import PippengerMsmEngine
+
+    pts, scalars, expected = g1_case
+    eng = PippengerMsmEngine(CurveId.BLS12_377, chunk_size=4)
+    assert eng.smvp_mode == "legacy"
+    aff = [crv.g1_to_affine(p) for p in pts]
+    got = eng.compute_msm(aff, scalars)
+    assert (got["x"], got["y"]) == expected
+
+    epts, escalars, eexpected = ed_case
+    eeng = PippengerMsmEngine(CurveId.EDWARDS_BLS12, chunk_size=4)
+    eaff = [crv.ed_to_affine(p) for p in epts]
+    egot = eeng.compute_msm(eaff, escalars)
+    assert (egot["x"], egot["y"]) == eexpected
+
+    with pytest.raises(ValueError):
+        PippengerMsmEngine(CurveId.BLS12_377, smvp_mode="stream")
+
+
 def test_prewarm_populates_cache(monkeypatch):
     """prewarm compiles the size-class programs the real call then hits."""
     from webgpu_msm_bls12_377_tpu.models.cuzk import CuzkMsmEngine
