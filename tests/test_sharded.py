@@ -23,6 +23,9 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow  # ~2.5 min of XLA CPU compiles; the default
+# suite keeps mesh coverage via the other sharded tests and the
+# driver's dryrun_multichip
 def test_sharded_matches_oracle_and_padding():
     rng = random.Random("sharded")
     n = 20  # deliberately not divisible by 8: exercises zero-scalar padding
@@ -64,6 +67,9 @@ def test_sharded_edwards():
     assert (got["x"], got["y"]) == want
 
 
+@pytest.mark.slow  # ~2.5 min of XLA CPU compiles; the default
+# suite keeps mesh coverage via the other sharded tests and the
+# driver's dryrun_multichip
 def test_sharded_stream_matches_oracle(monkeypatch):
     """Sharded streamed-SMVP path (interpret mode) on the 8-device mesh:
     per-chip slab kernels + replicated smax readback + all_gather tree."""

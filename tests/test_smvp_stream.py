@@ -171,6 +171,27 @@ def test_stream_engine_edwards(case):
     assert (got["x"], got["y"]) == want
 
 
+def test_stream_batched_msm_device_pool(case):
+    """Set-parallel batch over a device pool: 4 sets round-robined over
+    4 virtual devices, each set's whole pipeline on its own device
+    (the reference's worker-pool analogue, wasmMSM.ts)."""
+    pts, scalars = case
+    rng = random.Random("stream-pool")
+    sets = [scalars] + [
+        [rng.randrange(0, 1 << 253) for _ in range(N)] for _ in range(3)
+    ]
+    aff = [crv.g1_to_affine(p) for p in pts]
+    eng = CuzkMsmEngine(
+        CurveId.BLS12_377, chunk_size=CHUNK, smvp_mode="stream-interpret"
+    )
+    devices = jax.devices()[:4]
+    assert len(devices) == 4  # conftest pins an 8-virtual-device CPU mesh
+    results = eng.compute_msm_batch(aff, sets, devices=devices)
+    for got, ks in zip(results, sets):
+        want = crv.g1_to_affine(naive_msm(pts, ks, G1))
+        assert (got["x"], got["y"]) == want
+
+
 def test_stream_batched_msm(case):
     """compute_msm_batch through the pipelined stream path (interpret):
     shared signed table, per-set plans, one slab-count sync."""

@@ -499,7 +499,7 @@ class CuzkMsmEngine:
             build = lambda: self._build_main_fn(chunk_size, rounds, windows)
         return self._cache_get(key, build)
 
-    def _cache_get(self, key: tuple, build) -> Any:
+    def _cache_get(self, key: tuple, build, plain: bool = False) -> Any:
         """LRU-bounded compiled-program cache (see _compiled).
 
         The lock covers every read-modify-write pair: a background
@@ -507,6 +507,11 @@ class CuzkMsmEngine:
         get+move_to_end would otherwise KeyError on a just-evicted key.
         Building the jit wrapper stays outside the lock (compilation can
         take minutes; a duplicate wrapper is harmless — last one wins).
+
+        plain=True skips the disk-backed executable cache and returns a
+        plain jit wrapper — required when one wrapper must dispatch to
+        MULTIPLE devices (the batch device pool): a deserialized AOT
+        executable binds the device it was compiled for.
         """
         cache = CuzkMsmEngine._compiled
         if not self.force_recompile:
@@ -515,7 +520,7 @@ class CuzkMsmEngine:
                 if fn is not None:
                     cache.move_to_end(key)
                     return fn
-        if self.force_recompile:
+        if self.force_recompile or plain:
             # a fresh jit wrapper defeats jax's executable cache (and
             # skips the disk cache), mirroring the reference's
             # injected-dead-code recompile trick
@@ -682,12 +687,22 @@ class CuzkMsmEngine:
         return tuple(out)
 
     def compute_msm_batch(
-        self, points: Any, scalars_batch: Sequence[Any]
+        self,
+        points: Any,
+        scalars_batch: Sequence[Any],
+        devices: Sequence[Any] | None = None,
     ) -> list[dict[str, int]]:
         """Batched MSM over a fixed point set (BASELINE.json config 5).
 
         Compiled programs are shared across the batch via the size-class
         cache; per-set work re-runs the (cheap, fused) point conversion.
+
+        devices: optional device pool for set-parallel execution — set i
+        runs whole on devices[i % D] (the TPU analogue of the
+        reference's WASM worker pool, wasmMSM.ts:1-13).  Sets are
+        independent MSMs, so this scales linearly with no collectives;
+        a single device pipelines sets instead (_msm_batch_stream).
+        Single-process only — on a multi-host pod use ShardedMsmEngine.
         """
         point_words = self._prepare_points(points)
         n = point_words.shape[-1]
@@ -698,10 +713,87 @@ class CuzkMsmEngine:
                 sw = self._prepare_scalars(scalars)
                 self._validate(n, sw)
                 sws.append(sw)
+            if devices is not None and len(devices) > 1:
+                return self._msm_batch_stream_pool(
+                    point_words, sws, chunk_size, list(devices)
+                )
             return self._msm_batch_stream(point_words, sws, chunk_size)
         return [
             self.compute_msm(point_words, scalars)
             for scalars in scalars_batch
+        ]
+
+    def _msm_batch_stream_pool(
+        self, point_words, scalar_words_list, chunk_size: int, devices: list
+    ) -> list[dict[str, int]]:
+        """Set-parallel batched MSM over a device pool.
+
+        Each set's whole pipeline (splan + smain) runs on one device;
+        jit dispatches follow the committed inputs' placement, so the
+        same cached wrappers serve every pool member.  The signed point
+        table is replicated once per device; slab-class readbacks are
+        batched per device (one host sync each — this platform's
+        dispatch+readback floor is ~25-30 ms, so per-set readbacks
+        would pay it K times).  Device dispatch is async: all devices
+        compute concurrently while the host walks the enqueue loop.
+        """
+        n = point_words.shape[-1]
+        d_count = len(devices)
+        interp = self.smvp_mode == "stream-interpret"
+        # pool-prefixed keys + plain jit: these wrappers dispatch to
+        # every pool device, which an AOT disk-cache executable cannot
+        pprep_fn = self._cache_get(
+            ("pool", self.curve, "spprep", n),
+            lambda: self._build_stream_pprep_fn(),
+            plain=True,
+        )
+        splan_fn = self._cache_get(
+            ("pool", self.curve, "ssplan", chunk_size, n),
+            lambda: self._build_stream_splan_fn(chunk_size),
+            plain=True,
+        )
+        pw = jnp.asarray(point_words)
+        tables = [pprep_fn(jax.device_put(pw, d)) for d in devices]
+        plans = []
+        for i, sw in enumerate(scalar_words_list):
+            dev = devices[i % d_count]
+            plans.append(splan_fn(jax.device_put(jnp.asarray(sw), dev)))
+        # one slab-count readback per pool member (sets sharing a device
+        # stack into a single transfer)
+        slab_totals: dict[int, int] = {}
+        for di in range(d_count):
+            idxs = list(range(di, len(plans), d_count))
+            if not idxs:
+                continue
+            st = np.asarray(
+                jnp.stack([plans[i][1].total_slabs for i in idxs])
+            )
+            for i, t in zip(idxs, st):
+                slab_totals[i] = int(t)
+        coords_batch = []
+        for i in range(len(plans)):
+            sorted_vals, layout = plans[i]
+            plans[i] = None  # drop the ~64 MiB/set plan refs as consumed
+            s_slabs = slab_class(slab_totals[i], n)
+            assert s_slabs >= slab_totals[i], (s_slabs, slab_totals[i])
+            main_fn = self._cache_get(
+                (
+                    "pool", self.curve, "smain", chunk_size, n, s_slabs,
+                    self.num_bpr_threads, interp,
+                ),
+                lambda: self._build_stream_main_fn(
+                    chunk_size, s_slabs, interp
+                ),
+                plain=True,
+            )
+            coords_batch.append(
+                main_fn(tables[i % d_count], sorted_vals, layout)
+            )
+            del sorted_vals, layout
+        host_coords = jax.device_get(coords_batch)
+        return [
+            self._finalize(tuple(np.asarray(c) for c in coords), chunk_size)
+            for coords in host_coords
         ]
 
     def _validate(self, n: int, scalar_words: np.ndarray) -> None:
