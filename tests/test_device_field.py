@@ -220,9 +220,15 @@ class TestLazyDomain:
         assert self._back(ctx, tri) == [3 * x for x in xs]
         sub = jax.jit(lambda a, b: dfield.lazy_sub(ctx, a, b, 4))(xa, ya)
         assert self._back(ctx, sub) == [x + 4 * p - y for x, y in zip(xs, ys)]
-        # limbs stay canonical w-bit
+        # limbs stay within the lazy-domain bound (soft: <= mask + 127;
+        # strict A/B mode MSM_SOFT_CARRY=0: canonical w-bit)
+        limb_bound = (
+            dfield.soft_limb_max(ctx.word_size)
+            if dfield._soft_on()
+            else ctx.mask
+        )
         for arr in (add, tri, sub):
-            assert int(np.asarray(arr).max()) <= ctx.mask
+            assert int(np.asarray(arr).max()) <= limb_bound
 
     def test_mont_mul_lazy_and_canon(self):
         dfield, ctx = self._ctx()
@@ -266,7 +272,12 @@ class TestLazyDomain:
         out = jax.jit(
             lambda a, b, c, d: dfield.mont_mul_pair(ctx, a, b, c, d)
         )(*cols)
-        assert int(np.asarray(out).max()) <= ctx.mask  # canonical limbs
+        limb_bound = (
+            dfield.soft_limb_max(ctx.word_size)
+            if dfield._soft_on()
+            else ctx.mask
+        )
+        assert int(np.asarray(out).max()) <= limb_bound
         for got, (va, vb, vc, vd) in zip(self._back(ctx, out), cases):
             assert got % p == (va * vb + vc * vd) * rinv % p
             assert got < 2 * p  # bound products <= 648 << 8192
@@ -308,9 +319,15 @@ class TestLazyDomain:
         for _ in range(5):
             acc = jax.jit(group.add_mixed)(acc, aff_batch)
             lazy = jax.jit(group.add_mixed_lazy_pair)(lazy, aff_batch)
+            from webgpu_msm_bls12_377_tpu.ops import field as dfield
+            limb_bound = (
+                dfield.soft_limb_max(ctx.word_size)
+                if dfield._soft_on()
+                else ctx.mask
+            )
             for c in lazy:
                 arr = np.asarray(c)
-                assert int(arr.max()) <= ctx.mask
+                assert int(arr.max()) <= limb_bound
                 assert all(v < 2 * p for v in self._back(ctx, arr))
         lazy_c = jax.jit(group.canon)(lazy)
         for a, b in zip(acc, lazy_c):
@@ -394,9 +411,14 @@ class TestLazyDomain:
         step = jax.jit(group.add_mixed_lazy)
         for _ in range(50):
             acc = step(acc, (xs, ys))
+            limb_bound = (
+                dfield.soft_limb_max(ctx.word_size)
+                if dfield._soft_on()
+                else ctx.mask
+            )
             for c in acc:
                 arr = np.asarray(c)
-                assert int(arr.max()) <= ctx.mask  # canonical limbs
+                assert int(arr.max()) <= limb_bound
                 vals = self._back(ctx, arr)
                 assert all(v < group.LAZY_BOUND * p for v in vals)
         # and the canon of the result is the true 50*sum

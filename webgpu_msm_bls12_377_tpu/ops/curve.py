@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from ..params import EDWARDS_D, CurveId
 from .field import (
     FieldCtx,
+    lazy_sub_col,
     bigint_is_zero,
     field_add,
     field_canon,
@@ -96,16 +97,20 @@ class G1Ops:
     Point = ProjG1
     AFFINE_COORDS = 2
 
-    #: k*p offsets used by add_mixed_lazy's lazy_subs; shipped into
-    #: Pallas kernels as inputs (captured array constants are illegal
-    #: there — ops/pallas_kernels.py:_const_arrays/_rebuild_group)
+    #: k*p offsets used by add_mixed_lazy's lazy_subs (shipped as
+    #: lazy_sub_col columns) and by canon's conditional subtracts (true
+    #: k*p columns); all ride into Pallas kernels as inputs (captured
+    #: array constants are illegal there —
+    #: ops/pallas_kernels.py:_const_arrays/_rebuild_group)
     LAZY_KS = (2, 4, 6, 12)
+    CANON_KS = (2,)  # halving multiples field_canon visits for LAZY_BOUND
 
     def __init__(self, ctx: FieldCtx | None = None):
         self.ctx = ctx if ctx is not None else field_ctx(self.CURVE)
-        self._kp = {
-            k: self.ctx.const(k * self.ctx.params.p) for k in self.LAZY_KS
-        }
+        p = self.ctx.params.p
+        w, nw = self.ctx.params.word_size, self.ctx.params.num_words
+        self._kp = {k: self.ctx.const(k * p) for k in self.CANON_KS}
+        self._kpsub = {k: lazy_sub_col(k * p, nw, w) for k in self.LAZY_KS}
 
     def zero(self, batch_shape: tuple[int, ...]) -> ProjG1:
         """The point at infinity (0 : 1 : 0), Montgomery form, broadcast."""
@@ -213,7 +218,7 @@ class G1Ops:
         t4 = fa(X1, Y1)               # b<=8
         t3 = mm(t3, t4)               # 2*8=16   -> b<=2
         t4 = fa(t0, t1)               # b<=4
-        t3 = lazy_sub(ctx, t3, t4, self._kp[4])  # b<=6
+        t3 = lazy_sub(ctx, t3, t4, self._kpsub[4])  # b<=6
         t4 = mm(Y2, Z1)               # 1*4      -> b<=2
         t4 = fa(t4, Y1)               # b<=6
         Y3 = mm(X2, Z1)               # 1*4      -> b<=2
@@ -222,12 +227,12 @@ class G1Ops:
         #                               pass instead of two; b<=6
         t2 = lazy_triple(ctx, Z1)     # b<=12
         Z3 = fa(t1, t2)               # b<=14
-        t1 = lazy_sub(ctx, t1, t2, self._kp[12])  # b<=14
+        t1 = lazy_sub(ctx, t1, t2, self._kpsub[12])  # b<=14
         Y3 = lazy_triple(ctx, Y3)     # b<=18... see below
         # Y3 b<=18 exceeds the 4096-product budget with t4 b<=6 (108 ok)
         X3 = mm(t4, Y3)               # 6*18=108  -> b<=2
         t2 = mm(t3, t1)               # 6*14=84   -> b<=2
-        X3 = lazy_sub(ctx, t2, X3, self._kp[2])  # b<=4
+        X3 = lazy_sub(ctx, t2, X3, self._kpsub[2])  # b<=4
         Y3 = mm(Y3, t0)               # 18*6=108  -> b<=2
         t1 = mm(t1, Z3)               # 14*14=196 -> b<=2
         Y3 = fa(t1, Y3)               # b<=4
@@ -260,7 +265,7 @@ class G1Ops:
         t4 = fa(X1, Y1)               # b<=8
         t3 = mm(t3, t4)               # 2*8=16   -> b<=2
         t4 = fa(t0, t1)               # b<=4
-        t3 = lazy_sub(ctx, t3, t4, self._kp[4])  # b<=6
+        t3 = lazy_sub(ctx, t3, t4, self._kpsub[4])  # b<=6
         t4 = mm(Y2, Z1)               # 1*4      -> b<=2
         t4 = fa(t4, Y1)               # b<=6
         Y3 = mm(X2, Z1)               # 1*4      -> b<=2
@@ -268,9 +273,9 @@ class G1Ops:
         t0 = lazy_triple(ctx, t0)     # b<=6
         t2 = lazy_triple(ctx, Z1)     # b<=12
         Z3 = fa(t1, t2)               # b<=14
-        t1 = lazy_sub(ctx, t1, t2, self._kp[12])  # b<=14
+        t1 = lazy_sub(ctx, t1, t2, self._kpsub[12])  # b<=14
         Y3 = lazy_triple(ctx, Y3)     # b<=18
-        t4n = lazy_neg(ctx, t4, self._kp[6])      # 6p - t4; b<=6
+        t4n = lazy_neg(ctx, t4, self._kpsub[6])      # 6p - t4; b<=6
         # X3 = t3*t1 - t4*Y3, Y3 = t1*Z3 + Y3*t0, Z3 = Z3*t4 + t0*t3
         X3 = mmp(t3, t1, t4n, Y3)     # 6*14 + 6*18 = 192  -> b<=2
         Y3n = mmp(t1, Z3, Y3, t0)     # 14*14 + 18*6 = 304 -> b<=2
@@ -397,15 +402,17 @@ class EdwardsOps:
     AFFINE_COORDS = 3
 
     LAZY_KS = (2, 4)  # see G1Ops.LAZY_KS
+    CANON_KS = ()  # LAZY_BOUND = 2: canon is just the final field_reduce
 
     def __init__(self, ctx: FieldCtx | None = None):
         self.ctx = ctx if ctx is not None else field_ctx(self.CURVE)
         self.d_mont_col = self.ctx.const(
             (EDWARDS_D * self.ctx.params.r) % self.ctx.params.p
         )
-        self._kp = {
-            k: self.ctx.const(k * self.ctx.params.p) for k in self.LAZY_KS
-        }
+        p = self.ctx.params.p
+        w, nw = self.ctx.params.word_size, self.ctx.params.num_words
+        self._kp = {k: self.ctx.const(k * p) for k in self.CANON_KS}
+        self._kpsub = {k: lazy_sub_col(k * p, nw, w) for k in self.LAZY_KS}
 
     def zero(self, batch_shape: tuple[int, ...]) -> ExtEd:
         ctx = self.ctx
@@ -480,9 +487,9 @@ class EdwardsOps:
         x2y2 = fa(x2, y2)             # b<=2
         em = mm(x1y1, x2y2)           # 4*2=8   -> b<=2
         ab = fa(a, b)                 # b<=4
-        e = lazy_sub(ctx, em, ab, self._kp[4])  # b<=6
+        e = lazy_sub(ctx, em, ab, self._kpsub[4])  # b<=6
         dd = p1.z                     # b<=2 (z2 = 1)
-        f = lazy_sub(ctx, dd, c, self._kp[2])   # b<=4
+        f = lazy_sub(ctx, dd, c, self._kpsub[2])   # b<=4
         g = fa(dd, c)                 # b<=4
         h = fa(b, a)                  # b<=4
         return ExtEd(

@@ -39,6 +39,7 @@ Design notes (TPU-first, not a translation):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import lru_cache
 
 import jax
@@ -49,6 +50,54 @@ from ..params import CurveId, MontParams, mont_params_for
 from ..reference.limbs import to_words_le
 
 U32 = jnp.uint32
+
+# -- soft (redundant) limb domain --------------------------------------------
+#
+# Strict limbs are < 2^w; restoring them after every op costs a log-depth
+# Kogge-Stone carry prefix (~25 vector ops).  But the Montgomery overflow
+# analysis has slack: with limb bound L instead of mask, the interleaved
+# product needs n*(L^2 + mask^2) < 2^32 and the pair-REDC product phase
+# needs 2n*L^2 < 2^32.  For w=13, n=30 both hold up to L ~ 8400, so lazy
+# ops only need limbs <= SOFT_LIMB_MAX = mask + 127 = 8318 — reachable
+# with plain constant folds and NO carry prefix at all (a fold from
+# <=20-bit values leaves carries <= 127).  One strict resolve at
+# field_canon entry restores canonical limbs before any bigint compare.
+# MSM_SOFT_CARRY=0 pins the strict-limb forms for A/B (set before the
+# first trace; the exec cache keys on it).
+
+SOFT_SLACK_BITS = 7  # folds stop once carries fit 7 bits
+SOFT_FOLD_BITS = 13 + SOFT_SLACK_BITS  # fold while values can exceed 2^20
+
+
+def soft_limb_max(word_size: int) -> int:
+    return (1 << word_size) - 1 + (1 << SOFT_SLACK_BITS)
+
+
+def _soft_on() -> bool:
+    return os.environ.get("MSM_SOFT_CARRY", "1") != "0"
+
+
+def _lazy_koff(word_size: int) -> int:
+    """Per-limb offset for the soft-domain negation trick: K_i must cover
+    every soft limb (> soft_limb_max)."""
+    return soft_limb_max(word_size) + 2
+
+
+def lazy_koff_int(num_words: int, word_size: int) -> int:
+    """The bigint K = sum K_i 2^(w i): -b == (K -limbwise- b) - K exactly,
+    for any b with limbs <= soft_limb_max (mod 2^(W*w))."""
+    k_i = _lazy_koff(word_size)
+    return sum(k_i << (word_size * i) for i in range(num_words))
+
+
+def lazy_sub_col(value_k_p: int, num_words: int, word_size: int) -> np.ndarray:
+    """The (W, 1) constant column lazy_sub/lazy_neg expect for a given k*p
+    offset: (k*p - K) mod 2^(W*w) in soft mode, plain k*p otherwise."""
+    if _soft_on():
+        value_k_p = (
+            value_k_p - lazy_koff_int(num_words, word_size)
+        ) % (1 << (num_words * word_size))
+    return _col(value_k_p, num_words, word_size)
 
 
 def _col(value: int, num_words: int, word_size: int) -> np.ndarray:
@@ -164,18 +213,32 @@ def _carry_prefix(
 
 
 def resolve_carries(
-    ctx: FieldCtx, s: jnp.ndarray, value_bits: int = 32
+    ctx: FieldCtx, s: jnp.ndarray, value_bits: int = 32, soft: bool = False
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Normalize per-limb values < 2^value_bits into canonical w-bit limbs.
+    """Normalize per-limb values < 2^value_bits into w-bit limbs.
 
-    Constant-round reduction (each round folds the carry field one limb up,
-    shrinking it by w bits) followed by one log-depth single-bit carry
-    ripple.  Returns (normalized limbs, carry_out bool).  Carries past the
-    top limb are dropped, mirroring the WGSL final sweep
+    Strict mode: constant-round reduction (each round folds the carry
+    field one limb up, shrinking it by w bits) followed by one log-depth
+    single-bit carry ripple; limbs return canonical (< 2^w).  Returns
+    (normalized limbs, carry_out bool).  Carries past the top limb are
+    dropped, mirroring the WGSL final sweep
     (mont_pro_product.template.wgsl:52-57) — callers guarantee no overflow.
+
+    Soft mode (lazy domain only): folds until carries fit SOFT_SLACK_BITS
+    and skips the carry prefix entirely — limbs return <= soft_limb_max
+    (8318 at w=13), which the Montgomery overflow analysis tolerates (see
+    module notes).  carry_out is None (top carries provably zero for all
+    lazy-domain values, which stay far below 2^(W*w)).
     """
     w, mask = ctx.word_size, ctx.mask
     bits = value_bits
+    if soft and _soft_on():
+        while bits > SOFT_FOLD_BITS:
+            s = (s & mask) + _shift_up(s >> w)
+            bits = max(w, bits - w) + 1
+        # one final fold: limbs <= mask + 2^(bits - w) <= soft_limb_max
+        s = (s & mask) + _shift_up(s >> w)
+        return s, None
     while bits > w + 1:
         s = (s & mask) + _shift_up(s >> w)
         bits = max(w, bits - w) + 1
@@ -301,33 +364,52 @@ def field_neg(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
 def lazy_add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a + b with carry normalization only: bound(out) = bound(a)+bound(b).
 
-    No mod-p reduction; limbs return canonical (13-bit)."""
-    out, _ = resolve_carries(ctx, a + b, value_bits=ctx.word_size + 1)
+    No mod-p reduction; limbs return soft (<= soft_limb_max) in soft mode,
+    canonical 13-bit otherwise."""
+    out, _ = resolve_carries(
+        ctx, a + b, value_bits=ctx.word_size + 1, soft=True
+    )
     return out
 
 
 def lazy_triple(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     """3*a in one carry pass (RCB's b3 constant): bound(out) = 3*bound(a)."""
-    out, _ = resolve_carries(ctx, a + a + a, value_bits=ctx.word_size + 2)
+    out, _ = resolve_carries(
+        ctx, a + a + a, value_bits=ctx.word_size + 2, soft=True
+    )
     return out
 
 
 def lazy_sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, k) -> jnp.ndarray:
     """a + k*p - b, exact, for b < k*p and a + k*p - b < 2^(W*w).
 
-    bound(out) = bound(a) + k.  Two's-complement form: a + k*p + ~b + 1
-    wraps mod 2^(W*w) to the exact non-negative value, so one carry
-    normalization replaces field_sub's borrow prefix + wraparound add +
-    select.  Per-limb peak 3*mask + 1 < 2^15 stays in uint32.
+    bound(out) = bound(a) + k.  Negation-by-offset form: with the per-limb
+    constant K_i > soft_limb_max and K = sum K_i 2^(w i),
+    ``-b == (K -limbwise- b) - K`` exactly mod 2^(W*w), so
+    ``a + (k*p - K) + (K_i - b_i)`` wraps to the exact non-negative value
+    in one carry normalization — no borrow prefix, and (unlike the strict
+    two's-complement ``~b`` form) valid for SOFT b limbs.  Per-limb peak
+    ~3*2^13 stays far inside uint32.
 
-    k: the int multiple, or a precomputed (W, 1) k*p limb column — inside
-    Pallas kernel bodies the column MUST be a kernel input (captured
-    array constants are rejected there); the group classes ship their
-    k*p columns via _const_arrays (ops/pallas_kernels.py).
+    k: the int k*p multiple, or a precomputed (W, 1) ``lazy_sub_col``
+    column — inside Pallas kernel bodies the column MUST be a kernel
+    input (captured array constants are rejected there); the group
+    classes ship their columns via _const_arrays (ops/pallas_kernels.py).
     """
-    kp = ctx.const(k * ctx.params.p) if isinstance(k, int) else k
+    col = (
+        lazy_sub_col(k * ctx.params.p, ctx.num_words, ctx.word_size)
+        if isinstance(k, int)
+        else k
+    )
+    if _soft_on():
+        koff = jnp.uint32(_lazy_koff(ctx.word_size))
+        s = a + col + (koff - b)
+        out, _ = resolve_carries(
+            ctx, s, value_bits=ctx.word_size + 2, soft=True
+        )
+        return out
     mask = jnp.uint32(ctx.mask)
-    s = a + kp + (mask - b)
+    s = a + col + (mask - b)
     one0 = jnp.concatenate(
         [jnp.ones((1, *s.shape[1:]), U32), jnp.zeros((s.shape[0] - 1, *s.shape[1:]), U32)],
         axis=0,
@@ -342,12 +424,24 @@ def lazy_neg(ctx: FieldCtx, b: jnp.ndarray, kp) -> jnp.ndarray:
     lazy_sub with a = 0 (one carry pass, no borrow machinery); used to
     turn a difference of products into the sum mont_mul_pair reduces.
 
-    kp: the int multiple k, or a precomputed (W, 1) k*p limb column —
-    inside Pallas kernel bodies the column MUST be a kernel input.
+    kp: the int multiple k, or a precomputed (W, 1) ``lazy_sub_col``
+    column — inside Pallas kernel bodies the column MUST be a kernel
+    input.
     """
-    kpc = ctx.const(kp * ctx.params.p) if isinstance(kp, int) else kp
+    col = (
+        lazy_sub_col(kp * ctx.params.p, ctx.num_words, ctx.word_size)
+        if isinstance(kp, int)
+        else kp
+    )
+    if _soft_on():
+        koff = jnp.uint32(_lazy_koff(ctx.word_size))
+        s = col + (koff - b)
+        out, _ = resolve_carries(
+            ctx, s, value_bits=ctx.word_size + 2, soft=True
+        )
+        return out
     mask = jnp.uint32(ctx.mask)
-    s = kpc + (mask - b)
+    s = col + (mask - b)
     one0 = jnp.concatenate(
         [jnp.ones((1, *s.shape[1:]), U32),
          jnp.zeros((s.shape[0] - 1, *s.shape[1:]), U32)],
@@ -367,6 +461,10 @@ def field_canon(
     kernel bodies, where fresh array constants cannot be captured
     (the group classes ship their _kp columns as kernel inputs).
     """
+    # soft-domain limbs (<= soft_limb_max) must become strictly canonical
+    # before any limb-wise bigint compare; one strict resolve (no folds,
+    # just the carry prefix) restores them.  No-op for strict inputs.
+    s, _ = resolve_carries(ctx, s, value_bits=ctx.word_size + 1)
     k = 1
     while k < bound:
         k *= 2
@@ -422,6 +520,17 @@ def mont_mul(
         f"word_size={w} overflows u32 accumulation: one product pair "
         f"2*(2^{w}-1)^2 already exceeds 2^32"
     )
+    if lazy and _soft_on():
+        # soft-limb operands: per-step accumulation x_i*y_j + q_i*p_j with
+        # x, y limbs <= L and q, p limbs <= mask must stay in u32 over n
+        # steps (the nsafe analysis with redundant limbs)
+        lmax = soft_limb_max(w)
+        assert not fold_every_step and n * (
+            lmax * lmax + ctx.mask * ctx.mask
+        ) < (1 << 32), (
+            f"soft limbs unsupported at word_size={w}: accumulation "
+            "overflows u32"
+        )
 
     batch = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])
     # The x operand is sliced limb-by-limb; slicing a broadcast of a
@@ -474,11 +583,13 @@ def mont_mul(
         s, _ = jax.lax.scan(body, s0, xs, unroll=unroll)
 
     # final carry sweep (mont_pro_product.template.wgsl:52-57)
-    s, _ = resolve_carries(ctx, s, value_bits=32)
     if lazy:
         # lazy domain: REDC's sum is already < p*(1 + bound(x)*bound(y)
-        # * p/R); callers track bounds and canonicalize once at stage end
+        # * p/R); callers track bounds and canonicalize once at stage
+        # end.  Soft resolve: limbs <= soft_limb_max, no carry prefix.
+        s, _ = resolve_carries(ctx, s, value_bits=32, soft=True)
         return s
+    s, _ = resolve_carries(ctx, s, value_bits=32)
     return cond_reduce(ctx, s)
 
 
@@ -522,9 +633,10 @@ def mont_mul_pair(
     w, mask = ctx.word_size, ctx.mask
     n = ctx.num_words
     n0 = jnp.uint32(ctx.params.n0)
-    assert 2 * n * (2**w - 1) ** 2 < 2**32, (
+    lmax = soft_limb_max(w) if _soft_on() else (2**w - 1)
+    assert 2 * n * lmax * lmax < 2**32, (
         f"pair-REDC column sums overflow u32 at word_size={w}: "
-        f"2n*(2^w-1)^2 = {2 * n * (2**w - 1) ** 2}"
+        f"2n*L^2 = {2 * n * lmax * lmax}"
     )
 
     batch = jnp.broadcast_shapes(

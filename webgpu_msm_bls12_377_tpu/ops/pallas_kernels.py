@@ -62,24 +62,28 @@ def _is_edwards_cls(group_cls) -> bool:
 
 def n_const_arrays(group_cls) -> int:
     """Number of (W, 1) constant inputs _const_arrays ships for a class."""
-    return 2 + (1 if _is_edwards_cls(group_cls) else 0) + len(
-        group_cls.LAZY_KS
+    return (
+        2
+        + (1 if _is_edwards_cls(group_cls) else 0)
+        + len(group_cls.CANON_KS)
+        + len(group_cls.LAZY_KS)
     )
 
 
 def _const_arrays(group):
     """Field constants shipped into the kernel as (W, 1) inputs.
 
-    Order contract with _rebuild_group: [p, one_mont, (d_mont), *k*p
-    lazy-sub offsets in LAZY_KS order].  Captured array constants are
-    illegal inside pallas_call bodies, so everything the group ops touch
-    must ride in as inputs.
+    Order contract with _rebuild_group: [p, one_mont, (d_mont), *true k*p
+    canon columns in CANON_KS order, *lazy_sub_col offsets in LAZY_KS
+    order].  Captured array constants are illegal inside pallas_call
+    bodies, so everything the group ops touch must ride in as inputs.
     """
     ctx = group.ctx
     consts = [ctx.p_col, ctx.one_mont_col]
     if _is_edwards_cls(type(group)):
         consts.append(group.d_mont_col)
-    consts.extend(group._kp[k] for k in group.LAZY_KS)
+    consts.extend(group._kp[k] for k in group.CANON_KS)
+    consts.extend(group._kpsub[k] for k in group.LAZY_KS)
     return consts
 
 
@@ -97,7 +101,9 @@ def _rebuild_group(group_cls, ctx, const_vals):
     if _is_edwards_cls(group_cls):
         g.d_mont_col = const_vals[i]
         i += 1
-    g._kp = dict(zip(group_cls.LAZY_KS, const_vals[i:]))
+    nc = len(group_cls.CANON_KS)
+    g._kp = dict(zip(group_cls.CANON_KS, const_vals[i : i + nc]))
+    g._kpsub = dict(zip(group_cls.LAZY_KS, const_vals[i + nc :]))
     return g
 
 

@@ -92,7 +92,9 @@ def _disk_key(logical_key: tuple) -> str:
     # env vars that select kernel VARIANTS at trace time must key the
     # disk entries, or an A/B run could load the other variant's binary
     variant_env = {
-        k: os.environ.get(k) for k in ("MSM_PAIR_REDC",) if k in os.environ
+        k: os.environ.get(k)
+        for k in ("MSM_PAIR_REDC", "MSM_SOFT_CARRY")
+        if k in os.environ
     }
     raw = repr(
         (jax.__version__, dev_kind, _source_hash(), variant_env, logical_key)
