@@ -381,6 +381,60 @@ class TestLazyDomain:
                 ).__name__
 
 
+    def test_add_double_lazy_match_strict(self):
+        """Full projective/extended lazy add + lazy double == strict
+        formulas after canon (the BPR kernels' production ops)."""
+        from webgpu_msm_bls12_377_tpu.ops.curve import EdwardsOps, G1Ops
+        from webgpu_msm_bls12_377_tpu.ops.field import to_mont
+        from webgpu_msm_bls12_377_tpu.reference import curve as ocurve
+
+        rng = random.Random(23)
+        for group in (G1Ops(), EdwardsOps()):
+            ctx = group.ctx
+            p = ctx.params.p
+            if isinstance(group, G1Ops):
+                pts = [
+                    ocurve.g1_to_affine(
+                        ocurve.g1_scalar_mult(
+                            ocurve.G1_GENERATOR, rng.randrange(1, 1 << 96)
+                        )
+                    )
+                    for _ in range(4)
+                ]
+                affs = list(pts)
+            else:
+                eps = [
+                    ocurve.ed_to_affine(
+                        ocurve.ed_scalar_mult(
+                            ocurve.ED_GENERATOR, rng.randrange(1, 1 << 96)
+                        )
+                    )
+                    for _ in range(4)
+                ]
+                affs = [(x, y, (x * y) % p) for x, y in eps]
+            cols = tuple(
+                jax.jit(lambda a: to_mont(ctx, a))(
+                    self._vals(ctx, [a[c] for a in affs])
+                )
+                for c in range(len(affs[0]))
+            )
+            a = group.from_affine(cols)
+            # chain strict vs lazy through adds and doubles, incl. the
+            # identity lanes of zero accumulators
+            strict = group.zero((4,))
+            lazy = strict
+            for i in range(4):
+                strict = group.add(strict, a)
+                lazy = group.add_lazy(lazy, a)
+                if i % 2:
+                    strict = group.double(strict)
+                    lazy = group.double_lazy(lazy)
+            lazy_c = jax.jit(group.canon)(lazy)
+            for sc, lc in zip(strict, lazy_c):
+                assert np.array_equal(np.asarray(sc), np.asarray(lc)), type(
+                    group
+                ).__name__
+
     def test_lazy_domain_bound_invariant(self):
         """50 chained lazy mixed adds: coords stay < LAZY_BOUND*p with
         canonical limbs (the kernel's closure contract)."""

@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pallas_kernels import fused_add, fused_running_add, masked_add_and_double
+from .pallas_kernels import (
+    fused_add_lazy,
+    fused_running_add_lazy,
+    masked_add_and_double_lazy,
+)
 
 
 def bpr_order(
@@ -95,7 +99,7 @@ def reduce_buckets_prearranged(
 
         def body(mg, bi):
             m, g = mg
-            m, g = fused_running_add(group, m, g, bi)
+            m, g = fused_running_add_lazy(group, m, g, bi)
             return (m, g), None
 
         (m, g), _ = jax.lax.scan(body, (m, g), xs)
@@ -118,7 +122,7 @@ def _bpr_stage2_and_fold(group, m, g, num_windows, t_count, bpt):
 
     def bit_body(rt, bits_row):
         result, temp = rt
-        result, temp = masked_add_and_double(group, result, temp, bits_row)
+        result, temp = masked_add_and_double_lazy(group, result, temp, bits_row)
         return (result, temp), None
 
     (g, _), _ = jax.lax.scan(bit_body, (g, m), bit_table)
@@ -137,13 +141,17 @@ def _bpr_stage2_and_fold(group, m, g, num_windows, t_count, bpt):
         shifted = type(g)(
             *(jnp.take(c, jnp.asarray(partner), axis=1) for c in g)
         )
-        g = fused_add(group, g, shifted)
+        g = fused_add_lazy(group, g, shifted)
         off //= 2
     # lane 0 of each window holds the fold
     lane0 = jnp.asarray(
         np.arange(num_windows, dtype=np.int32) * t_count
     )
-    return type(g)(*(jnp.take(c, lane0, axis=1) for c in g))
+    picked = type(g)(*(jnp.take(c, lane0, axis=1) for c in g))
+    # the whole reduction ran in the lazy domain (inputs are canonical
+    # buckets, every step closed under < LAZY_BOUND*p); one canon on the
+    # num_windows surviving lanes restores the canonical output contract
+    return group.canon(picked)
 
 
 def reduce_buckets(
@@ -187,8 +195,8 @@ def reduce_buckets(
     def body(mg, i):
         m, g = mg
         bi = gather(buckets, base - 1 - i)
-        m = fused_add(group, m, bi)
-        g = fused_add(group, g, m)
+        m = fused_add_lazy(group, m, bi)
+        g = fused_add_lazy(group, g, m)
         return (m, g), None
 
     (m, g), _ = jax.lax.scan(

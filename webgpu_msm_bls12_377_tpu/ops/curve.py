@@ -47,6 +47,7 @@ from .field import (
     field_sub,
     lazy_add,
     lazy_neg,
+    lazy_scale,
     lazy_sub,
     lazy_triple,
     mont_mul,
@@ -102,7 +103,7 @@ class G1Ops:
     #: k*p columns); all ride into Pallas kernels as inputs (captured
     #: array constants are illegal there —
     #: ops/pallas_kernels.py:_const_arrays/_rebuild_group)
-    LAZY_KS = (2, 4, 6, 12)
+    LAZY_KS = (2, 4, 6, 12, 18)
     CANON_KS = (2,)  # halving multiples field_canon visits for LAZY_BOUND
 
     def __init__(self, ctx: FieldCtx | None = None):
@@ -281,6 +282,78 @@ class G1Ops:
         Y3n = mmp(t1, Z3, Y3, t0)     # 14*14 + 18*6 = 304 -> b<=2
         Z3 = mmp(Z3, t4, t0, t3)      # 14*6 + 6*6 = 120   -> b<=2
         return ProjG1(x=X3, y=Y3n, z=Z3)
+
+    def add_lazy(self, p1: ProjG1, p2: ProjG1) -> ProjG1:
+        """Complete projective add (RCB Alg. 7) in the lazy domain.
+
+        Contract: both inputs < 4p (LAZY_BOUND); outputs < 4p — closed
+        under chaining, so running-sum scans (ops/bpr.py) stay lazy for
+        their whole trip count and canonicalize once at the end.  Bound
+        products peak at 108 << 8192 (comments in units of p)."""
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b, lazy=True)
+        fa = lambda a, b: lazy_add(ctx, a, b)
+        X1, Y1, Z1 = p1  # b<=4 each
+        X2, Y2, Z2 = p2  # b<=4 each
+        t0 = mm(X1, X2)               # 16   -> b<=2
+        t1 = mm(Y1, Y2)               # 16   -> b<=2
+        t2 = mm(Z1, Z2)               # 16   -> b<=2
+        t3 = fa(X1, Y1)               # b<=8
+        t4 = fa(X2, Y2)               # b<=8
+        t3 = mm(t3, t4)               # 64   -> b<=2
+        t4 = fa(t0, t1)               # b<=4
+        t3 = lazy_sub(ctx, t3, t4, self._kpsub[4])   # b<=6
+        t4 = fa(Y1, Z1)               # b<=8
+        X3 = fa(Y2, Z2)               # b<=8
+        t4 = mm(t4, X3)               # 64   -> b<=2
+        X3 = fa(t1, t2)               # b<=4
+        t4 = lazy_sub(ctx, t4, X3, self._kpsub[4])   # b<=6
+        X3 = fa(X1, Z1)               # b<=8
+        Y3 = fa(X2, Z2)               # b<=8
+        X3 = mm(X3, Y3)               # 64   -> b<=2
+        Y3 = fa(t0, t2)               # b<=4
+        Y3 = lazy_sub(ctx, X3, Y3, self._kpsub[4])   # b<=6
+        t0 = lazy_triple(ctx, t0)     # b<=6
+        t2 = lazy_triple(ctx, t2)     # b<=6
+        Z3 = fa(t1, t2)               # b<=8
+        t1 = lazy_sub(ctx, t1, t2, self._kpsub[6])   # b<=8
+        Y3 = lazy_triple(ctx, Y3)     # b<=18
+        X3 = mm(t4, Y3)               # 6*18=108 -> b<=2
+        t2 = mm(t3, t1)               # 6*8=48   -> b<=2
+        X3 = lazy_sub(ctx, t2, X3, self._kpsub[2])   # b<=4
+        Y3 = mm(Y3, t0)               # 18*6=108 -> b<=2
+        t1 = mm(t1, Z3)               # 8*8=64   -> b<=2
+        Y3 = fa(t1, Y3)               # b<=4
+        t0 = mm(t0, t3)               # 6*6=36   -> b<=2
+        Z3 = mm(Z3, t4)               # 8*6=48   -> b<=2
+        Z3 = fa(Z3, t0)               # b<=4
+        return ProjG1(x=X3, y=Y3, z=Z3)
+
+    def double_lazy(self, p1: ProjG1) -> ProjG1:
+        """Complete doubling (RCB Alg. 9) in the lazy domain.
+
+        Contract: input < 4p; outputs < 4p (closed).  Bound products peak
+        at 160 << 8192."""
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b, lazy=True)
+        fa = lambda a, b: lazy_add(ctx, a, b)
+        X, Y, Z = p1  # b<=4
+        t0 = mm(Y, Y)                 # 16   -> b<=2
+        Z3 = lazy_scale(ctx, t0, 8)   # b<=16
+        t1 = mm(Y, Z)                 # 16   -> b<=2
+        t2 = mm(Z, Z)                 # 16   -> b<=2
+        t2 = lazy_triple(ctx, t2)     # b<=6
+        X3 = mm(t2, Z3)               # 6*16=96 -> b<=2
+        Y3 = fa(t0, t2)               # b<=8
+        Z3 = mm(t1, Z3)               # 2*16=32 -> b<=2
+        t2 = lazy_triple(ctx, t2)     # b<=18  (RCB's t1=2*t2; t2=t1+t2)
+        t0 = lazy_sub(ctx, t0, t2, self._kpsub[18])  # b<=20
+        Y3 = mm(t0, Y3)               # 20*8=160 -> b<=2
+        Y3 = fa(X3, Y3)               # b<=4
+        t1 = mm(X, Y)                 # 16   -> b<=2
+        X3 = mm(t0, t1)               # 20*2=40  -> b<=2
+        X3 = fa(X3, X3)               # b<=4
+        return ProjG1(x=X3, y=Y3, z=Z3)
 
     def canon(self, p: ProjG1) -> ProjG1:
         """Lazy-domain point -> canonical coords (< p)."""
@@ -497,6 +570,58 @@ class EdwardsOps:
             y=mm(g, h),               # 4*4=16  -> b<=2
             t=mm(e, h),               # 24      -> b<=2
             z=mm(f, g),               # 16      -> b<=2
+        )
+
+    def add_lazy(self, p1: ExtEd, p2: ExtEd) -> ExtEd:
+        """Unified hwcd full add in the lazy domain.
+
+        Contract: both inputs < 2p; outputs < 2p (closed under chaining).
+        Bound products peak at 24 << 8192."""
+        ctx = self.ctx
+        mm = lambda u, v: mont_mul(ctx, u, v, lazy=True)
+        fa = lambda u, v: lazy_add(ctx, u, v)
+        a = mm(p1.x, p2.x)            # 4      -> b<=2
+        b = mm(p1.y, p2.y)            # 4      -> b<=2
+        t1t2 = mm(p1.t, p2.t)         # 4      -> b<=2
+        c = mm(self.d_mont_col, t1t2)  # 2     -> b<=2
+        x1y1 = fa(p1.x, p1.y)         # b<=4
+        x2y2 = fa(p2.x, p2.y)         # b<=4
+        em = mm(x1y1, x2y2)           # 16     -> b<=2
+        ab = fa(a, b)                 # b<=4
+        e = lazy_sub(ctx, em, ab, self._kpsub[4])  # b<=6
+        dd = mm(p1.z, p2.z)           # 4      -> b<=2
+        f = lazy_sub(ctx, dd, c, self._kpsub[2])   # b<=4
+        g = fa(dd, c)                 # b<=4
+        h = fa(b, a)                  # b<=4
+        return ExtEd(
+            x=mm(e, f),               # 24 -> b<=2
+            y=mm(g, h),               # 16 -> b<=2
+            t=mm(e, h),               # 24 -> b<=2
+            z=mm(f, g),               # 16 -> b<=2
+        )
+
+    def double_lazy(self, p1: ExtEd) -> ExtEd:
+        """dbl-2008-hwcd (a = -1) in the lazy domain: inputs < 2p,
+        outputs < 2p.  Bound products peak at 48 << 8192."""
+        ctx = self.ctx
+        mm = lambda u, v: mont_mul(ctx, u, v, lazy=True)
+        fa = lambda u, v: lazy_add(ctx, u, v)
+        a = mm(p1.x, p1.x)            # 4  -> b<=2
+        b = mm(p1.y, p1.y)            # 4  -> b<=2
+        zz = mm(p1.z, p1.z)           # 4  -> b<=2
+        c = fa(zz, zz)                # b<=4
+        d = lazy_neg(ctx, a, self._kpsub[2])        # b<=2
+        xy = fa(p1.x, p1.y)           # b<=4
+        e = mm(xy, xy)                # 16 -> b<=2
+        e = lazy_sub(ctx, e, fa(a, b), self._kpsub[4])  # b<=6
+        g = fa(d, b)                  # b<=4
+        f = lazy_sub(ctx, g, c, self._kpsub[4])     # b<=8
+        h = lazy_sub(ctx, d, b, self._kpsub[2])     # b<=4
+        return ExtEd(
+            x=mm(e, f),               # 48 -> b<=2
+            y=mm(g, h),               # 16 -> b<=2
+            t=mm(e, h),               # 24 -> b<=2
+            z=mm(f, g),               # 32 -> b<=2
         )
 
     def canon(self, p: ExtEd) -> ExtEd:

@@ -380,6 +380,18 @@ def lazy_triple(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def lazy_scale(ctx: FieldCtx, a: jnp.ndarray, c: int) -> jnp.ndarray:
+    """c*a (small static c <= 8) in one carry pass: bound(out) = c*bound(a)."""
+    assert 2 <= c <= 8
+    out, _ = resolve_carries(
+        ctx,
+        a * jnp.uint32(c),
+        value_bits=ctx.word_size + c.bit_length(),
+        soft=True,
+    )
+    return out
+
+
 def lazy_sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, k) -> jnp.ndarray:
     """a + k*p - b, exact, for b < k*p and a + k*p - b < 2^(W*w).
 

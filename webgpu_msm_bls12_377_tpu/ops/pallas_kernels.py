@@ -293,6 +293,46 @@ def _running_add_body(n_coords):
     return body
 
 
+def _running_add_lazy_body(n_coords):
+    def body(group, in_refs, out_refs):
+        m = group.Point(*(r[...] for r in in_refs[:n_coords]))
+        g = group.Point(*(r[...] for r in in_refs[n_coords : 2 * n_coords]))
+        b = group.Point(*(r[...] for r in in_refs[2 * n_coords :]))
+        m2 = group.add_lazy(m, b)
+        g2 = group.add_lazy(g, m2)
+        for o, v in zip(out_refs, tuple(m2) + tuple(g2)):
+            o[...] = v
+
+    return body
+
+
+def _add_lazy_body(n_coords):
+    def body(group, in_refs, out_refs):
+        a = group.Point(*(r[...] for r in in_refs[:n_coords]))
+        b = group.Point(*(r[...] for r in in_refs[n_coords:]))
+        out = group.add_lazy(a, b)
+        for o, v in zip(out_refs, out):
+            o[...] = v
+
+    return body
+
+
+def _masked_add_double_lazy_body(n_coords):
+    def body(group, in_refs, out_refs):
+        result = group.Point(*(r[...] for r in in_refs[:n_coords]))
+        temp = group.Point(*(r[...] for r in in_refs[n_coords : 2 * n_coords]))
+        bit = in_refs[2 * n_coords][...] != 0
+        added = group.add_lazy(result, temp)
+        new_res = tuple(
+            jnp.where(bit, a, r) for a, r in zip(added, result)
+        )
+        new_tmp = tuple(group.double_lazy(temp))
+        for o, v in zip(out_refs, new_res + new_tmp):
+            o[...] = v
+
+    return body
+
+
 def fused_running_add(group, m, g, b, interpret=False):
     """One BPR stage-1 step — m' = m + b; g' = g + m' — in ONE kernel.
 
@@ -311,6 +351,59 @@ def fused_running_add(group, m, g, b, interpret=False):
     )
     n = len(m)
     return type(m)(*out[:n]), type(g)(*out[n:])
+
+
+def fused_add_lazy(group, a, b, interpret=False):
+    """Lazy-domain full add, fused: inputs/outputs < LAZY_BOUND*p with
+    soft limbs; canonicalize with group.canon at chain end (ops/bpr.py)."""
+    batch = a[0].shape[-1]
+    if not _supported(batch, interpret):
+        return group.add_lazy(a, b)
+    out = _run(
+        _add_lazy_body(len(a)),
+        group,
+        (*a, *b),
+        num_outputs=len(a),
+        interpret=interpret,
+    )
+    return type(a)(*out)
+
+
+def fused_running_add_lazy(group, m, g, b, interpret=False):
+    """fused_running_add in the lazy domain (BPR stage 1; ops/bpr.py)."""
+    batch = m[0].shape[-1]
+    if not _supported(batch, interpret):
+        m2 = group.add_lazy(m, b)
+        return m2, group.add_lazy(g, m2)
+    out = _run(
+        _running_add_lazy_body(len(m)),
+        group,
+        (*m, *g, *b),
+        num_outputs=2 * len(m),
+        interpret=interpret,
+    )
+    n = len(m)
+    return type(m)(*out[:n]), type(g)(*out[n:])
+
+
+def masked_add_and_double_lazy(group, result, temp, bit, interpret=False):
+    """One lazy-domain double-and-add step (BPR stage 2), fused."""
+    batch = result[0].shape[-1]
+    if not _supported(batch, interpret):
+        from .curve import select
+
+        added = group.add_lazy(result, temp)
+        return select(bit, added, result), group.double_lazy(temp)
+    arrays = (*result, *temp, bit.astype(jnp.uint32)[None, :])
+    out = _run(
+        _masked_add_double_lazy_body(len(result)),
+        group,
+        arrays,
+        num_outputs=2 * len(result),
+        interpret=interpret,
+    )
+    n = len(result)
+    return type(result)(*out[:n]), type(temp)(*out[n:])
 
 
 def masked_add_and_double(group, result, temp, bit, interpret=False):
