@@ -41,7 +41,7 @@ from ..models.cuzk import (
     mont_point_table,
 )
 from ..ops.bpr import bpr_order, reduce_buckets, reduce_buckets_prearranged
-from ..ops.pallas_kernels import fused_add
+from ..ops.pallas_kernels import fused_add, fused_add_lazy
 from ..ops.buckets import (
     BucketPlan,
     accumulate_buckets,
@@ -325,7 +325,10 @@ class ShardedMsmEngine(CuzkMsmEngine):
                             for clo, chi in zip(lo, hi)
                         )
                     )
-                    cur = fused_add(group, keep, recv)
+                    # lazy-domain add: closed under < LAZY_BOUND*p, and
+                    # reduce_buckets' lazy chain accepts lazy seeds, so
+                    # the canon happens once inside BPR's final fold
+                    cur = fused_add_lazy(group, keep, recv)
                     width = half
                     bit >>= 1
                 # BPR on this chip's kw true windows
