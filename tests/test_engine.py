@@ -96,6 +96,28 @@ def test_g1_chunk_size_8(g1_case):
     assert (got["x"], got["y"]) == expected
 
 
+@pytest.mark.parametrize("chunk", [13, 15])
+def test_g1_odd_chunk_top_window(g1_case, chunk):
+    """Chunk sizes not dividing 256 need the ceil-253 window rule
+    (num_windows_for): floor-256 division would drop scalar bits 247+,
+    and the trimmed top window must still absorb the max carry.  The
+    max-canonical scalar 2^253 - 1 pins both."""
+    from webgpu_msm_bls12_377_tpu.models.cuzk import num_windows_for
+
+    assert num_windows_for(13) == 20 and num_windows_for(14) == 19
+    assert num_windows_for(15) == 17 and num_windows_for(16) == 16
+    pts, scalars, expected = g1_case
+    ks = list(scalars)
+    ks[0] = (1 << 253) - 1
+    from webgpu_msm_bls12_377_tpu.reference.msm import G1, naive_msm
+
+    want = crv.g1_to_affine(naive_msm(pts, ks, G1))
+    aff = [crv.g1_to_affine(p) for p in pts]
+    eng = CuzkMsmEngine(CurveId.BLS12_377, chunk_size=chunk)
+    got = eng.compute_msm(aff, ks)
+    assert (got["x"], got["y"]) == want
+
+
 def test_input_validation():
     eng = CuzkMsmEngine(CurveId.BLS12_377)
     with pytest.raises(ValueError):

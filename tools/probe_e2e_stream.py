@@ -49,10 +49,12 @@ def timeit(fn, *args, n=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--power", type=int, default=20)
+    ap.add_argument("--chunk", type=int, default=16)
     args = ap.parse_args()
     n = 1 << args.power
-    chunk = 16
-    num_windows = SCALAR_BITS // chunk
+    chunk = args.chunk
+    from webgpu_msm_bls12_377_tpu.models.cuzk import num_windows_for
+    num_windows = num_windows_for(chunk)
 
     floor = timeit(jax.jit(lambda x: x + 1), jnp.ones((8, 128), jnp.uint32), n=6)
     print(f"backend={jax.default_backend()} floor={floor*1e3:.1f} ms")

@@ -71,11 +71,44 @@ from ..reference.limbs import from_words_le_unchecked
 from ..utils import exec_cache
 
 SCALAR_BITS = 256  # 8 LE u32 words per scalar, reference wire format
+SCALAR_EFF_BITS = 253  # canonical wire scalars are < 2^253 (validated)
+
+
+def num_windows_for(chunk_size: int) -> int:
+    """Windows needed to cover a 253-bit scalar at this chunk size.
+
+    The reference sizes this as ceil(256/s) (submission.ts:106); since
+    the engine validates scalars < 2^253, windows whose bits are
+    provably zero can be trimmed: k = ceil(253/c) windows suffice
+    UNLESS the top window's real bit count r = 253 - c*(k-1) admits a
+    signed-carry overflow (its value chunk + carry_in reaches 2^(c-1),
+    possible only when r >= c-1), in which case one carry window is
+    kept.  c=16 keeps the reference's 16 windows exactly; c=15 drops
+    from ceil(256/15)=18 to 17 (the 18th was always the zero digit).
+    Floor division over 256 (the round-1..3 rule) would silently DROP
+    bits 247+ for chunk sizes that don't divide 256."""
+    k = -(-SCALAR_EFF_BITS // chunk_size)
+    r = SCALAR_EFF_BITS - chunk_size * (k - 1)
+    return k + (1 if r >= chunk_size - 1 else 0)
 
 
 def choose_chunk_size(input_size: int) -> int:
-    """Window size rule (submission.ts:97): 16 for n >= 2^16, else 4."""
-    return 16 if input_size >= 65536 else 4
+    """Window size policy, TPU-measured (PERF.md round 4).
+
+    The reference uses 16 for n >= 2^16 (submission.ts:97).  With the
+    streamed SMVP (no per-round dispatches) smaller windows pay off at
+    smaller n: chunk 15 covers 253 bits in 17 windows (one FEWER than
+    ceil(256/15) — see num_windows_for) and shrinks the n-independent
+    bucket/BPR tail 2x, winning 12-38% for 2^16..2^19; at 2^20 the
+    extra entries (+7%) cancel the tail saving, so 16 stays.  Chunks
+    12/14 are pathological: their top window holds ONE real scalar bit,
+    so ~n/2 entries pile into a single bucket (a 32K-round hot block).
+    Below 2^16 the reference's chunk-4 rule stands (legacy path)."""
+    if input_size >= 1 << 20:
+        return 16
+    if input_size >= 1 << 16:
+        return 15
+    return 4
 
 
 def mont_point_table(ctx, group, point_words) -> jnp.ndarray:
@@ -172,7 +205,7 @@ class CuzkMsmEngine:
     def _build_plan_fn(self, chunk_size: int):
         ctx = self.ctx
         group = self.group
-        num_windows = SCALAR_BITS // chunk_size
+        num_windows = num_windows_for(chunk_size)
 
         def plan_fn(point_words, scalar_words):
             table = mont_point_table(ctx, group, point_words)
@@ -228,7 +261,7 @@ class CuzkMsmEngine:
     def _build_fused_plan_fn(self, chunk_size: int):
         ctx = self.ctx
         group = self.group
-        num_windows = SCALAR_BITS // chunk_size
+        num_windows = num_windows_for(chunk_size)
 
         def plan_fn(point_words, scalar_words):
             table = mont_point_table(ctx, group, point_words)
@@ -246,7 +279,7 @@ class CuzkMsmEngine:
     ):
         ctx = self.ctx
         group = self.group
-        num_windows = SCALAR_BITS // chunk_size
+        num_windows = num_windows_for(chunk_size)
         num_buckets = num_windows * (1 << (chunk_size - 1))
         bpr_threads = self.num_bpr_threads
         windowed = windowed_supported(
@@ -281,7 +314,7 @@ class CuzkMsmEngine:
     def _build_stream_plan_fn(self, chunk_size: int):
         ctx = self.ctx
         group = self.group
-        num_windows = SCALAR_BITS // chunk_size
+        num_windows = num_windows_for(chunk_size)
 
         def plan_fn(point_words, scalar_words):
             table = mont_point_table(ctx, group, point_words)
@@ -299,7 +332,7 @@ class CuzkMsmEngine:
     ):
         ctx = self.ctx
         group = self.group
-        num_windows = SCALAR_BITS // chunk_size
+        num_windows = num_windows_for(chunk_size)
         nb_total = num_windows * (1 << (chunk_size - 1)) // smvp_stream.LANES
         bpr_threads = self.num_bpr_threads
         # static BPR walk composed into the permute gather: the
@@ -338,7 +371,7 @@ class CuzkMsmEngine:
         return pprep_fn
 
     def _build_stream_splan_fn(self, chunk_size: int):
-        num_windows = SCALAR_BITS // chunk_size
+        num_windows = num_windows_for(chunk_size)
 
         def splan_fn(scalar_words):
             digits = decompose_scalars_signed(
@@ -457,7 +490,7 @@ class CuzkMsmEngine:
     def _fused_ok(self, chunk_size: int, n: int) -> bool:
         if self.smvp_mode == "legacy":
             return False
-        num_windows = SCALAR_BITS // chunk_size
+        num_windows = num_windows_for(chunk_size)
         num_buckets = num_windows * (1 << (chunk_size - 1))
         interp = self.smvp_mode == "interpret"
         return windowed_supported(
@@ -666,7 +699,7 @@ class CuzkMsmEngine:
             )
         if path == "fused":
             return self._msm_device_fused(point_words, scalar_words, chunk_size)
-        num_windows = SCALAR_BITS // chunk_size
+        num_windows = num_windows_for(chunk_size)
         plan_fn = self._get_compiled("plan", chunk_size, n)
         table_rows, plan, wmax = plan_fn(
             jnp.asarray(point_words), jnp.asarray(scalar_words)

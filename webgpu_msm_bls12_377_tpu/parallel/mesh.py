@@ -39,6 +39,7 @@ from ..models.cuzk import (
     CuzkMsmEngine,
     choose_chunk_size,
     mont_point_table,
+    num_windows_for,
 )
 from ..ops.bpr import bpr_order, reduce_buckets, reduce_buckets_prearranged
 from ..ops.pallas_kernels import fused_add, fused_add_lazy
@@ -91,7 +92,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
         ctx = self.ctx
         group = self.group
         mesh = self.mesh
-        num_windows = SCALAR_BITS // chunk_size
+        num_windows = num_windows_for(chunk_size)
 
         @partial(
             shard_map,
@@ -186,7 +187,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
         ctx = self.ctx
         group = self.group
         mesh = self.mesh
-        num_windows = SCALAR_BITS // chunk_size
+        num_windows = num_windows_for(chunk_size)
 
         @partial(
             shard_map,
@@ -236,7 +237,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
         ctx = self.ctx
         group = self.group
         mesh = self.mesh
-        num_windows = SCALAR_BITS // chunk_size
+        num_windows = num_windows_for(chunk_size)
         h = 1 << (chunk_size - 1)
         nb_total = num_windows * h // smvp_stream.LANES
         bpr_threads = self.num_bpr_threads
@@ -413,7 +414,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
     def msm_device(self, point_words, scalar_words, chunk_size: int):
         n = point_words.shape[-1]
         d = self.mesh.devices.size
-        num_windows = SCALAR_BITS // chunk_size
+        num_windows = num_windows_for(chunk_size)
         if n % d != 0:
             pad = d - n % d
             point_words = np.concatenate(
