@@ -242,15 +242,27 @@ def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w):
     )
 
     def kernel(*refs):
-        # [outb, flags (prefetch)] [consts..., data] [outs...]
+        # [outb, flags (prefetch)] [consts..., data] [out]
         flags_ref = refs[1]
         const_vals = [r[...] for r in refs[2 : 2 + n_consts]]
         data_ref = refs[2 + n_consts]
-        out_refs = refs[3 + n_consts : 3 + n_consts + n_coords]
+        # ONE (n_coords*W, LANES) output block: coord c at rows [c*w, (c+1)w)
+        # — a single merged plane makes the downstream block->window
+        # permute ONE row gather instead of n_coords (ops: permute_buckets)
+        out_ref = refs[3 + n_consts]
 
         kgroup = _rebuild_group(group_cls, ctx, const_vals)
         i = pl.program_id(0)
         flags = flags_ref[i]
+
+        def read_acc():
+            return tuple(
+                out_ref[c * w : (c + 1) * w] for c in range(n_coords)
+            )
+
+        def write(vals):
+            for c, v in enumerate(vals):
+                out_ref[c * w : (c + 1) * w] = v
 
         @pl.when(flags & FLAG_ACT != 0)
         def _():
@@ -261,25 +273,25 @@ def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w):
 
             zero = kgroup.zero((LANES,))
             acc = tuple(
-                jnp.where(first == FLAG_FIRST, z, o[...])
-                for z, o in zip(zero, out_refs)
+                jnp.where(first == FLAG_FIRST, z, o)
+                for z, o in zip(zero, read_acc())
             )
             # lazy-domain add (coords < LAZY_BOUND*p, ops/curve.py):
             # skips every per-op canonical reduction
             new = getattr(kgroup, add_name)(kgroup.Point(*acc), aff)
-            for o, nv, av in zip(out_refs, new, acc):
-                o[...] = jnp.where(m, nv, av)
+            write(
+                tuple(
+                    jnp.where(m, nv, av) for nv, av in zip(new, acc)
+                )
+            )
 
         # canonicalize once on each block's last active slab, while the
         # accumulator block is still VMEM-resident (~3% of kernel work
         # vs ~40 ms for a separate pass over the full bucket array)
         @pl.when(flags & FLAG_LAST != 0)
         def _():
-            can = kgroup.canon(
-                kgroup.Point(*(o[...] for o in out_refs))
-            )
-            for o, cv in zip(out_refs, can):
-                o[...] = cv
+            can = kgroup.canon(kgroup.Point(*read_acc()))
+            write(tuple(can))
 
     return kernel
 
@@ -318,20 +330,18 @@ def accumulate_buckets_streamed(
                 (CWP, LANES), lambda i, outb, flags: (0, i)
             ),  # slab stream
         ],
-        out_specs=tuple(
-            pl.BlockSpec(
-                (w, LANES), lambda i, outb, flags: (0, outb[i])
-            )
-            for _ in range(n_coords)
+        # one merged (n_coords*W, LANES) accumulator block per bucket
+        # block: coord c at rows [c*W, (c+1)*W)
+        out_specs=pl.BlockSpec(
+            (n_coords * w, LANES), lambda i, outb, flags: (0, outb[i])
         ),
     )
     kernel = _stream_kernel_body(type(group), ctx, n_coords, n_aff, w)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((w, nb_total * LANES), jnp.uint32)
-            for _ in range(n_coords)
+        out_shape=jax.ShapeDtypeStruct(
+            (n_coords * w, nb_total * LANES), jnp.uint32
         ),
         interpret=interpret,
     )(
@@ -340,16 +350,18 @@ def accumulate_buckets_streamed(
         *[jnp.asarray(c) for c in consts],
         arr,
     )
-    return group.Point(*out)
+    return out
 
 
 def permute_buckets(group, blocks, layout: StreamLayout, order=None):
     """Block-ordered kernel output -> window-major bucket batch.
 
-    Row-gather formulation: transpose (w, B) -> (B, w), take perm rows,
-    transpose back — the minor-axis (column) gather form is ~4x slower.
-    Buckets in empty blocks (never visited by the kernel) are replaced
-    with the group identity via the per-bucket length mask.
+    blocks: the kernel's merged (n_coords*W, nb*LANES) plane
+    (accumulate_buckets_streamed).  Row-gather formulation: transpose
+    to (B, n_coords*W), take perm rows, transpose back, split coords —
+    ONE row gather for all coords (the per-coord and minor-axis forms
+    are slower).  Buckets in empty blocks (never visited by the kernel)
+    are replaced with the group identity via the per-bucket length mask.
 
     order: optional static window-major index array (e.g.
     ops/bpr.py:bpr_order): the output is buckets[order.reshape(-1)]
@@ -357,12 +369,15 @@ def permute_buckets(group, blocks, layout: StreamLayout, order=None):
     makes the downstream running-sum scan gather-free for no extra cost
     (the composed index is one cheap int take).
     """
+    w = group.ctx.num_words
+    n_coords = blocks.shape[0] // w
     perm = layout.perm
     if order is not None:
         perm = jnp.take(perm, jnp.asarray(order, jnp.int32).reshape(-1))
     # kernel outputs are canonical: the stream kernel folds the
     # lazy-domain canon into each block's last slab
-    coords = [jnp.take(c.T, perm, axis=0).T for c in blocks]
+    sel = jnp.take(blocks.T, perm, axis=0).T  # (n_coords*W, B')
+    coords = [sel[c * w : (c + 1) * w] for c in range(n_coords)]
     # empty buckets -> identity (lens in output order)
     lens_sel = jnp.take(layout.lens_rk.reshape(-1), perm)
     nonempty = (lens_sel > 0)[None, :]
