@@ -152,6 +152,7 @@ class CuzkMsmEngine:
         num_bpr_threads: int = 512,
         chunk_size: int | None = None,
         smvp_mode: str = "auto",
+        autotune: bool = False,
     ):
         """smvp_mode selects the SMVP stage implementation:
 
@@ -178,6 +179,9 @@ class CuzkMsmEngine:
             )
         self.num_bpr_threads = num_bpr_threads
         self.chunk_size_override = chunk_size
+        #: consult the persisted on-device tuning table
+        #: (harness/autotune.py) before the static policy
+        self.autotune = autotune
         assert smvp_mode in (
             "auto", "stream", "stream-interpret", "fused", "interpret",
             "legacy",
@@ -467,6 +471,19 @@ class CuzkMsmEngine:
         coords = main_fn(signed_table, sorted_vals, layout)
         return tuple(np.asarray(c) for c in coords)
 
+    def _chunk_for(self, n: int) -> int:
+        """Window size: explicit override > autotuned table (if enabled,
+        harness/autotune.py) > static measured policy."""
+        if self.chunk_size_override:
+            return self.chunk_size_override
+        if self.autotune:
+            from ..harness.autotune import lookup
+
+            tuned = lookup(self.curve, n)
+            if tuned:
+                return tuned
+        return choose_chunk_size(n)
+
     def _select_smvp(self, chunk_size: int, n: int) -> str:
         """Resolve smvp_mode to the concrete path for this size class."""
         mode = self.smvp_mode
@@ -650,7 +667,7 @@ class CuzkMsmEngine:
             )
             t.start()
             return t
-        chunk = chunk_size or self.chunk_size_override or choose_chunk_size(n)
+        chunk = chunk_size or self._chunk_for(n)
         if self._select_smvp(chunk, n) != "stream":
             # non-stream paths compile per window round-class, which is
             # input-dependent; a garbage run warms plan + likely mains
@@ -739,7 +756,7 @@ class CuzkMsmEngine:
         """
         point_words = self._prepare_points(points)
         n = point_words.shape[-1]
-        chunk_size = self.chunk_size_override or choose_chunk_size(n)
+        chunk_size = self._chunk_for(n)
         if self._select_smvp(chunk_size, n) == "stream":
             sws = []
             for scalars in scalars_batch:
@@ -851,6 +868,6 @@ class CuzkMsmEngine:
         scalar_words = self._prepare_scalars(scalars)
         n = point_words.shape[-1]
         self._validate(n, scalar_words)
-        chunk_size = self.chunk_size_override or choose_chunk_size(n)
+        chunk_size = self._chunk_for(n)
         coords = self.msm_device(point_words, scalar_words, chunk_size)
         return self._finalize(coords, chunk_size)
