@@ -133,7 +133,8 @@ def main():
                          "points vs a pinned golden)")
     ap.add_argument("--smvp-mode", default="auto",
                     choices=["auto", "stream", "fused", "legacy",
-                             "stream-interpret", "interpret"])
+                             "stream-interpret", "interpret",
+                             "tree", "tree-interpret"])
     ap.add_argument("--batch", type=int, default=0, metavar="K",
                     help="batched-pipelined mode (BASELINE config 5): K "
                          "scalar sets over one fixed point set; reports "

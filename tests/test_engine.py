@@ -169,16 +169,14 @@ def test_pippenger_engine_both_curves(g1_case, ed_case):
         PippengerMsmEngine(CurveId.BLS12_377, smvp_mode="stream")
 
 
-def test_prewarm_populates_cache(monkeypatch):
+def test_prewarm_populates_cache():
     """prewarm compiles the size-class programs the real call then hits."""
     from webgpu_msm_bls12_377_tpu.models.cuzk import CuzkMsmEngine
-    from webgpu_msm_bls12_377_tpu.ops import smvp_stream as ss
     from webgpu_msm_bls12_377_tpu.params import CurveId
 
-    monkeypatch.setattr(ss, "LANES", 8)
     eng = CuzkMsmEngine(
         CurveId.BLS12_377, chunk_size=4, smvp_mode="stream-interpret",
-        num_bpr_threads=8,
+        num_bpr_threads=8, stream_lanes=8,
     )
     n = 64
     t = eng.prewarm(n, 4, background=True)

@@ -70,12 +70,10 @@ def test_sharded_edwards():
 @pytest.mark.slow  # ~2.5 min of XLA CPU compiles; the default
 # suite keeps mesh coverage via the other sharded tests and the
 # driver's dryrun_multichip
-def test_sharded_stream_matches_oracle(monkeypatch):
+def test_sharded_stream_matches_oracle():
     """Sharded streamed-SMVP path (interpret mode) on the 8-device mesh:
-    per-chip slab kernels + replicated smax readback + all_gather tree."""
-    from webgpu_msm_bls12_377_tpu.ops import smvp_stream as ss
-
-    monkeypatch.setattr(ss, "LANES", 8)
+    per-chip slab kernels + replicated smax readback + all_gather tree.
+    stream_lanes rides the engine parameter (no global mutation)."""
     rng = random.Random("sharded-stream")
     n = 64
     pts = [
@@ -88,7 +86,39 @@ def test_sharded_stream_matches_oracle(monkeypatch):
     mesh = make_mesh(jax.devices()[:8])
     eng = ShardedMsmEngine(
         CurveId.BLS12_377, mesh=mesh, chunk_size=4, num_bpr_threads=8,
-        smvp_mode="stream-interpret",
+        smvp_mode="stream-interpret", stream_lanes=8,
+    )
+    got = eng.compute_msm(aff, ks)
+    want = crv.g1_to_affine(naive_msm(pts, ks, G1))
+    assert (got["x"], got["y"]) == want
+
+
+@pytest.mark.slow  # chunk-15/16 window geometry: ~minutes of CPU compiles
+@pytest.mark.parametrize("n_dev,chunk", [(4, 16), (8, 16), (8, 15)])
+def test_sharded_stream_production_windows(n_dev, chunk):
+    """Sharded BPR at PRODUCTION window counts (round-3 verdict weak #3:
+    this path had only ever executed at chunk-4 shapes):
+
+    - chunk 16 (16 windows, h = 2^15, 256-lane blocks, 512 BPR threads)
+      on D = 4 and 8: 16 % D == 0, so the window-sharded reduce-scatter
+      (ppermute halving) is the path exercised — the exact geometry the
+      real-TPU 2^20 class runs;
+    - chunk 15 (17 trimmed windows, h = 2^14) on D = 8: 17 % 8 != 0, so
+      the REPLICATED-BPR fallback must engage at the 2^16..2^19 policy
+      geometry."""
+    rng = random.Random(f"sharded-prod-{n_dev}-{chunk}")
+    n = 8 * n_dev
+    pts = [
+        crv.g1_scalar_mult(crv.G1_GENERATOR, rng.randrange(1, 1 << 64))
+        for _ in range(n)
+    ]
+    aff = [crv.g1_to_affine(p) for p in pts]
+    ks = [rng.randrange(0, 1 << 253) for _ in range(n)]
+
+    mesh = make_mesh(jax.devices()[:n_dev])
+    eng = ShardedMsmEngine(
+        CurveId.BLS12_377, mesh=mesh, chunk_size=chunk,
+        num_bpr_threads=512, smvp_mode="stream-interpret",
     )
     got = eng.compute_msm(aff, ks)
     want = crv.g1_to_affine(naive_msm(pts, ks, G1))

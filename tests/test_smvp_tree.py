@@ -1,0 +1,208 @@
+"""Differential tests for the packed-tree SMVP (ops/smvp_tree.py).
+
+Runs the tree level kernels in Pallas interpreter mode on CPU and checks
+them bit-identical to the legacy masked-round bucket path and correct vs
+the bigint oracle — the same strategy as tests/test_smvp_stream.py.
+The level maps (scatter/cumsum construction) are verified against a
+straightforward numpy tree construction.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from webgpu_msm_bls12_377_tpu.models.cuzk import CuzkMsmEngine
+from webgpu_msm_bls12_377_tpu.ops import buckets as dbuck
+from webgpu_msm_bls12_377_tpu.ops import curve as dcurve
+from webgpu_msm_bls12_377_tpu.ops import decompose as ddec
+from webgpu_msm_bls12_377_tpu.ops import smvp_tree as st
+from webgpu_msm_bls12_377_tpu.ops.convert import (
+    ints_to_words,
+    u32_words_to_limbs_mont,
+)
+from webgpu_msm_bls12_377_tpu.params import CurveId
+from webgpu_msm_bls12_377_tpu.reference import curve as crv
+from webgpu_msm_bls12_377_tpu.reference.msm import EDWARDS, G1, naive_msm
+
+CHUNK = 4
+NUM_WINDOWS = 64
+N = 96
+
+
+@pytest.fixture(scope="module")
+def case():
+    rng = random.Random("tree-smvp")
+    pts = [
+        crv.g1_scalar_mult(crv.G1_GENERATOR, rng.randrange(1, 1 << 60))
+        for _ in range(N)
+    ]
+    scalars = [rng.randrange(0, 1 << 253) for _ in range(N)]
+    return pts, scalars
+
+
+@pytest.fixture(scope="module")
+def device_inputs(case):
+    pts, scalars = case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    xw = np.asarray(ints_to_words([a[0] for a in aff], 12))
+    yw = np.asarray(ints_to_words([a[1] for a in aff], 12))
+    sw = np.asarray(ints_to_words(scalars, 8))
+    return xw, yw, sw
+
+
+def _plan(device_inputs):
+    xw, yw, sw = device_inputs
+    ops = dcurve.G1Ops()
+    table = jnp.stack(
+        [
+            u32_words_to_limbs_mont(ops.ctx, jnp.asarray(xw)),
+            u32_words_to_limbs_mont(ops.ctx, jnp.asarray(yw)),
+        ]
+    )
+    digits = ddec.decompose_scalars_signed(jnp.asarray(sw), CHUNK, NUM_WINDOWS)
+    plan = dbuck.build_bucket_plan(digits, CHUNK)
+    return ops, table, plan
+
+
+def _numpy_levels(lens):
+    """Per-level (c_k, S_k) chains, numpy."""
+    chains = []
+    c = np.asarray(lens).astype(np.int64)
+    while True:
+        c = (c + 1) // 2
+        s = np.concatenate([[0], np.cumsum(c)[:-1]])
+        chains.append((c, s))
+        if c.max() <= 1:
+            break
+    return chains
+
+
+def test_level_maps_match_numpy(device_inputs):
+    """build_level_map's decoded children == the numpy construction."""
+    _, _, plan = _plan(device_inputs)
+    lens = np.asarray(plan.lens).astype(np.int64)
+    starts = np.asarray(plan.starts).astype(np.int64)
+    kn = int(np.asarray(plan.sorted_vals).shape[0])
+    chains = _numpy_levels(lens)
+    s_prev, c_prev = starts, lens
+    prev_cls = st.level0_class(kn)
+    t_cls_chain = st.level_classes(kn, lens.shape[0], len(chains))
+    for lv, (c_k, s_k) in enumerate(chains):
+        t_cls = t_cls_chain[lv]
+        loc, m, span = jax.jit(
+            lambda sp, cp, sk, ck: st.build_level_map(
+                sp, cp, sk, ck, t_cls, prev_cls // st.BLOCK, 3
+            )
+        )(
+            jnp.asarray(s_prev, jnp.int32),
+            jnp.asarray(c_prev, jnp.int32),
+            jnp.asarray(s_k, jnp.int32),
+            jnp.asarray(c_k, jnp.int32),
+        )
+        loc, m = np.asarray(loc), np.asarray(m)
+        t_k = int(s_k[-1] + c_k[-1])
+        # decode every valid slot and compare children
+        for b in np.random.default_rng(lv).integers(
+            0, lens.shape[0], size=64
+        ):
+            for j in range(int(c_k[b])):
+                p = int(s_k[b] + j)
+                assert not (loc[p] & st.FLAG_INVALID)
+                child_a = loc[p] & st.LOC_MASK
+                abs_a = child_a + st.BLOCK * int(m[p // st.BLOCK])
+                want_a = int(s_prev[b] + 2 * j)
+                assert abs_a == want_a, (lv, b, j)
+                is_single = 2 * j + 1 >= int(c_prev[b])
+                assert bool(loc[p] & st.FLAG_SINGLE) == is_single
+        assert np.all(loc[t_k:] == st.FLAG_INVALID)
+        assert int(span) <= 768  # chunk-4 windows have tiny gaps
+        s_prev, c_prev = s_k, c_k
+        prev_cls = t_cls
+
+
+def test_tree_matches_legacy_buckets(device_inputs):
+    """Tree kernels (interpret) == legacy masked-round path, bit-exact."""
+    ops, table, plan = _plan(device_inputs)
+    rounds = dbuck.round_class(int(np.asarray(plan.lens).max()))
+    legacy = jax.jit(
+        lambda t, p: dbuck.accumulate_buckets(
+            ops, dbuck.table_to_rows(t), p, rounds
+        )
+    )(table, plan)
+
+    kn = int(plan.sorted_vals.shape[0])
+    tplan = jax.jit(lambda s, l: st.build_tree_plan(s, l, kn))(
+        plan.starts, plan.lens
+    )
+    maxlen, span = (int(v) for v in np.asarray(tplan.stats))
+    levels = st.num_levels(maxlen)
+    w1t = st.w1_tiles_for(span)
+    ttable = jax.jit(lambda t: st.build_tree_table(ops, t))(table)
+    final, s_fin = st.tree_smvp(
+        ops, ttable, plan.sorted_vals, tplan, levels, w1t, interpret=True
+    )
+    got = st.permute_tree(ops, final, s_fin, tplan.lens)
+    # The tree adds in a different (balanced) order, so projective
+    # REPRESENTATIVES differ from the sequential legacy walk; compare as
+    # group elements via the oracle's projective equality.
+    w = ops.ctx.word_size
+    ga = [np.asarray(c) for c in got]
+    la = [np.asarray(c) for c in legacy]
+    from webgpu_msm_bls12_377_tpu.reference.limbs import (
+        from_words_le_unchecked,
+    )
+
+    def pt(arrs, j):
+        return crv.ProjectivePoint(
+            *(from_words_le_unchecked(a[:, j].tolist(), w) for a in arrs)
+        )
+
+    for j in range(ga[0].shape[1]):
+        assert crv.g1_eq(pt(ga, j), pt(la, j)), j
+
+
+def test_tree_engine_end_to_end(case):
+    """Interpret-mode tree engine == oracle through the public API."""
+    pts, scalars = case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    eng = CuzkMsmEngine(
+        CurveId.BLS12_377, chunk_size=CHUNK, smvp_mode="tree-interpret"
+    )
+    got = eng.compute_msm(aff, scalars)
+    want = crv.g1_to_affine(naive_msm(pts, scalars, G1))
+    assert (got["x"], got["y"]) == want
+
+
+def test_tree_engine_edwards(case):
+    """Edwards curve through the tree path (3 affine coords, 4 state)."""
+    rng = random.Random("tree-ed")
+    pts = [
+        crv.ed_scalar_mult(crv.ED_GENERATOR, rng.randrange(1, 1 << 60))
+        for _ in range(N)
+    ]
+    scalars = [rng.randrange(0, 1 << 253) for _ in range(N)]
+    aff = [crv.ed_to_affine(p) for p in pts]
+    eng = CuzkMsmEngine(
+        CurveId.EDWARDS_BLS12, chunk_size=CHUNK, smvp_mode="tree-interpret"
+    )
+    got = eng.compute_msm(aff, scalars)
+    want = crv.ed_to_affine(naive_msm(pts, scalars, EDWARDS))
+    assert (got["x"], got["y"]) == want
+
+
+def test_tree_engine_duplicate_heavy(case):
+    """Hot-bucket inputs (every scalar equal): one bucket per window
+    holds ALL entries — the deepest trees and maximal single-chains."""
+    pts, _ = case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    s = 0x1234_5678_9ABC_DEF0
+    scalars = [s] * N
+    eng = CuzkMsmEngine(
+        CurveId.BLS12_377, chunk_size=CHUNK, smvp_mode="tree-interpret"
+    )
+    got = eng.compute_msm(aff, scalars)
+    want = crv.g1_to_affine(naive_msm(pts, scalars, G1))
+    assert (got["x"], got["y"]) == want

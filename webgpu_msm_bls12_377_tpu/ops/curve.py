@@ -105,6 +105,11 @@ class G1Ops:
     #: ops/pallas_kernels.py:_const_arrays/_rebuild_group)
     LAZY_KS = (2, 4, 6, 12, 18)
     CANON_KS = (2,)  # halving multiples field_canon visits for LAZY_BOUND
+    #: extra (W, 1) constant columns shipped into Pallas kernels
+    #: (ops/pallas_kernels.py ships/rebuilds these by attribute name):
+    #: _three_mont = 3 in Montgomery form, the t2 = 3*Z1 constant of the
+    #: both-affine RCB add (Z1 = 1)
+    EXTRA_CONST_ATTRS = ("_three_mont",)
 
     def __init__(self, ctx: FieldCtx | None = None):
         self.ctx = ctx if ctx is not None else field_ctx(self.CURVE)
@@ -112,6 +117,7 @@ class G1Ops:
         w, nw = self.ctx.params.word_size, self.ctx.params.num_words
         self._kp = {k: self.ctx.const(k * p) for k in self.CANON_KS}
         self._kpsub = {k: lazy_sub_col(k * p, nw, w) for k in self.LAZY_KS}
+        self._three_mont = self.ctx.const((3 * self.ctx.params.r) % p)
 
     def zero(self, batch_shape: tuple[int, ...]) -> ProjG1:
         """The point at infinity (0 : 1 : 0), Montgomery form, broadcast."""
@@ -281,6 +287,89 @@ class G1Ops:
         X3 = mmp(t3, t1, t4n, Y3)     # 6*14 + 6*18 = 192  -> b<=2
         Y3n = mmp(t1, Z3, Y3, t0)     # 14*14 + 18*6 = 304 -> b<=2
         Z3 = mmp(Z3, t4, t0, t3)      # 14*6 + 6*6 = 120   -> b<=2
+        return ProjG1(x=X3, y=Y3n, z=Z3)
+
+    def add_affine_lazy(self, aff1, aff2) -> ProjG1:
+        """Both-affine RCB add (Alg. 8 with Z1 = 1) in the lazy domain: 9M.
+
+        The packed-tree SMVP's level-1 primitive (ops/smvp_tree.py): half
+        of all tree adds combine two table points, where Z1 = 1 makes
+        t4 = Y2*Z1 + Y1 and Y3 = X2*Z1 + X1 multiply-free and
+        t2 = 3*Z1 a cheap constant triple — 9M vs the 11M mixed add.
+        Contract: both addends canonical (< p); outputs < 4p
+        (LAZY_BOUND).  Bounds in units of p as comments.
+        """
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b, lazy=True)
+        fa = lambda a, b: lazy_add(ctx, a, b)
+        X1, Y1 = aff1  # b<=1
+        X2, Y2 = aff2  # b<=1
+        # t2 = 3*Z1 = 3 in Montgomery form (reduced mod p, so b<=1), a
+        # shipped constant column (EXTRA_CONST_ATTRS): computing
+        # lazy_triple(one) in-kernel crashes the Mosaic compiler
+        # (arithmetic through the carry folds on a lane-broadcast (W, 1)
+        # block), and array-valued inline constants are rejected by
+        # pallas_call.
+        t2 = self._three_mont
+        t0 = mm(X1, X2)               # 1*1      -> b<=2
+        t1 = mm(Y1, Y2)               # 1*1      -> b<=2
+        t3 = fa(X2, Y2)               # b<=2
+        t4 = fa(X1, Y1)               # b<=2
+        t3 = mm(t3, t4)               # 2*2=4    -> b<=2
+        t4 = fa(t0, t1)               # b<=4
+        t3 = lazy_sub(ctx, t3, t4, self._kpsub[4])  # b<=6
+        t4 = fa(Y2, Y1)               # Y2*Z1 + Y1, Z1 = 1; b<=2
+        Y3 = fa(X2, X1)               # X2*Z1 + X1; b<=2
+        t0 = lazy_triple(ctx, t0)     # b<=6
+        Z3 = fa(t1, t2)               # b<=3
+        t1 = lazy_sub(ctx, t1, t2, self._kpsub[2])  # 2p-t2 >= p: exact; b<=4
+        Y3 = lazy_triple(ctx, Y3)     # b<=6
+        X3 = mm(t4, Y3)               # 2*6=12    -> b<=2
+        t2 = mm(t3, t1)               # 6*4=24    -> b<=2
+        X3 = lazy_sub(ctx, t2, X3, self._kpsub[2])  # b<=4
+        Y3 = mm(Y3, t0)               # 6*6=36    -> b<=2
+        t1 = mm(t1, Z3)               # 4*3=12    -> b<=2
+        Y3 = fa(t1, Y3)               # b<=4
+        t0 = mm(t0, t3)               # 6*6=36    -> b<=2
+        Z3 = mm(Z3, t4)               # 3*2=6     -> b<=2
+        Z3 = fa(Z3, t0)               # b<=4
+        return ProjG1(x=X3, y=Y3, z=Z3)
+
+    def add_affine_lazy_pair(self, aff1, aff2) -> ProjG1:
+        """add_affine_lazy with the three paired products reduced once
+        (field.py:mont_mul_pair), mirroring add_mixed_lazy_pair: ~25%
+        fewer multiply rows on the final six products.  Same contract:
+        canonical addends, outputs < 4p.  Bound products peak at 66
+        << 8192.  Kernel (unrolled) form only."""
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b, lazy=True)
+        mmp = lambda a, b, c, d: mont_mul_pair(ctx, a, b, c, d)
+        fa = lambda a, b: lazy_add(ctx, a, b)
+        X1, Y1 = aff1  # b<=1
+        X2, Y2 = aff2  # b<=1
+        t2 = self._three_mont     # 3*Z1 = 3 in Montgomery form; b<=1
+        t0 = mm(X1, X2)               # -> b<=2
+        t1 = mm(Y1, Y2)               # -> b<=2
+        t3 = fa(X2, Y2)               # b<=2
+        t4 = fa(X1, Y1)               # b<=2
+        t3 = mm(t3, t4)               # 4  -> b<=2
+        t4 = fa(t0, t1)               # b<=4
+        t3 = lazy_sub(ctx, t3, t4, self._kpsub[4])  # b<=6
+        t4 = fa(Y2, Y1)               # b<=2
+        Y3 = fa(X2, X1)               # b<=2
+        t0 = lazy_triple(ctx, t0)     # b<=6
+        Z3 = fa(t1, t2)               # b<=3
+        t1 = lazy_sub(ctx, t1, t2, self._kpsub[2])  # 2p-t2 >= p; b<=4
+        Y3 = lazy_triple(ctx, Y3)     # b<=6
+        # k = 4, NOT bound(t4) = 2: the soft-domain negation is exact only
+        # when k*p - b >= p (else a 2^(W*w) wrap can survive the soft
+        # folds and pair-REDC turns it into a +Y3 error; see
+        # tests/test_lazy_neg_exactness.py).  t4 <= 2p ==> 4p - t4 >= 2p.
+        t4n = lazy_neg(ctx, t4, self._kpsub[4])     # 4p - t4; b<=4
+        # X3 = t3*t1 - t4*Y3, Y3 = t1*Z3 + Y3*t0, Z3 = Z3*t4 + t0*t3
+        X3 = mmp(t3, t1, t4n, Y3)     # 6*4 + 4*6 = 48  -> b<=2
+        Y3n = mmp(t1, Z3, Y3, t0)     # 4*3 + 6*6 = 48  -> b<=2
+        Z3 = mmp(Z3, t4, t0, t3)      # 3*2 + 6*6 = 42  -> b<=2
         return ProjG1(x=X3, y=Y3n, z=Z3)
 
     def add_lazy(self, p1: ProjG1, p2: ProjG1) -> ProjG1:
@@ -571,6 +660,15 @@ class EdwardsOps:
             t=mm(e, h),               # 24      -> b<=2
             z=mm(f, g),               # 16      -> b<=2
         )
+
+    def add_affine_lazy(self, aff1, aff2) -> ExtEd:
+        """Both-affine hwcd add for the packed-tree SMVP's level 1.
+
+        hwcd gains nothing special from Z1 = 1 beyond the mixed form
+        (the d-term is z1 either way), so this is add_mixed_lazy seeded
+        with the promoted first addend; kept as a named entry so the
+        tree kernel builder is curve-agnostic (ops/smvp_tree.py)."""
+        return self.add_mixed_lazy(self.from_affine(aff1), aff2)
 
     def add_lazy(self, p1: ExtEd, p2: ExtEd) -> ExtEd:
         """Unified hwcd full add in the lazy domain.

@@ -67,6 +67,7 @@ def n_const_arrays(group_cls) -> int:
         + (1 if _is_edwards_cls(group_cls) else 0)
         + len(group_cls.CANON_KS)
         + len(group_cls.LAZY_KS)
+        + len(getattr(group_cls, "EXTRA_CONST_ATTRS", ()))
     )
 
 
@@ -84,6 +85,10 @@ def _const_arrays(group):
         consts.append(group.d_mont_col)
     consts.extend(group._kp[k] for k in group.CANON_KS)
     consts.extend(group._kpsub[k] for k in group.LAZY_KS)
+    consts.extend(
+        getattr(group, a)
+        for a in getattr(type(group), "EXTRA_CONST_ATTRS", ())
+    )
     return consts
 
 
@@ -102,8 +107,11 @@ def _rebuild_group(group_cls, ctx, const_vals):
         g.d_mont_col = const_vals[i]
         i += 1
     nc = len(group_cls.CANON_KS)
+    nl = len(group_cls.LAZY_KS)
     g._kp = dict(zip(group_cls.CANON_KS, const_vals[i : i + nc]))
-    g._kpsub = dict(zip(group_cls.LAZY_KS, const_vals[i + nc :]))
+    g._kpsub = dict(zip(group_cls.LAZY_KS, const_vals[i + nc : i + nc + nl]))
+    for j, a in enumerate(getattr(group_cls, "EXTRA_CONST_ATTRS", ())):
+        setattr(g, a, const_vals[i + nc + nl + j])
     return g
 
 

@@ -89,17 +89,20 @@ class StreamLayout(NamedTuple):
 
 
 def build_stream_layout(
-    starts: jnp.ndarray, lens: jnp.ndarray, num_windows: int
+    starts: jnp.ndarray, lens: jnp.ndarray, num_windows: int,
+    lanes: int = LANES,
 ) -> StreamLayout:
     """Length-sorted block/slab layout from the bucket segment arrays.
 
     starts/lens: (num_buckets,) window-major per-bucket segments into the
     global sorted_vals array (ops/buckets.py:build_bucket_plan).
+    lanes: bucket lanes per block — the production 256 by default;
+    dryruns/tests shrink it so tiny windows still form whole blocks.
     """
     num_buckets = starts.shape[0]
     h = num_buckets // num_windows
-    assert h % LANES == 0, (h, LANES)
-    nb_total = num_buckets // LANES
+    assert h % lanes == 0, (h, lanes)
+    nb_total = num_buckets // lanes
 
     lens_w = lens.reshape(num_windows, h)
     # per-window descending length sort; ranks index the kernel lanes.
@@ -115,7 +118,7 @@ def build_stream_layout(
     lens_rk = -neg_sorted
     # block round counts: max length in each 256-lane block (= first
     # lane's length, since ranks are sorted descending)
-    lb = lens_rk.reshape(nb_total, LANES)[:, 0]
+    lb = lens_rk.reshape(nb_total, lanes)[:, 0]
     osl = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(lb).astype(jnp.int32)]
     )
@@ -125,8 +128,8 @@ def build_stream_layout(
     _, inv = jax.lax.sort((order, iota), dimension=1, num_keys=1)
     base = (jnp.arange(num_windows, dtype=jnp.int32) * h)[:, None]
     return StreamLayout(
-        starts_rk=starts_rk.reshape(nb_total, LANES),
-        lens_rk=lens_rk.reshape(nb_total, LANES),
+        starts_rk=starts_rk.reshape(nb_total, lanes),
+        lens_rk=lens_rk.reshape(nb_total, lanes),
         osl=osl,
         perm=(inv + base).reshape(-1),
         total_slabs=osl[-1],
@@ -229,7 +232,7 @@ def gather_slabs(
     return g.T, outb, flags
 
 
-def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w):
+def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w, lanes=LANES):
     n_consts = n_const_arrays(group_cls)
     # paired-product reduction (field.py:mont_mul_pair) where the group
     # has it (G1); MSM_PAIR_REDC=0 pins the unpaired formula for A/B
@@ -271,7 +274,7 @@ def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w):
             aff = tuple(slab[c * w : (c + 1) * w] for c in range(n_aff))
             m = slab[MASK_WORD : MASK_WORD + 1, :]  # (1, LANES) 0/1
 
-            zero = kgroup.zero((LANES,))
+            zero = kgroup.zero((lanes,))
             acc = tuple(
                 jnp.where(first == FLAG_FIRST, z, o)
                 for z, o in zip(zero, read_acc())
@@ -303,6 +306,7 @@ def accumulate_buckets_streamed(
     flags: jnp.ndarray,
     nb_total: int,
     interpret: bool = False,
+    lanes: int = LANES,
 ):
     """Run the slab-stream kernel; returns the block-ordered bucket batch
     (one lane per bucket, LENGTH-SORTED rank order — apply
@@ -327,21 +331,21 @@ def accumulate_buckets_streamed(
                 for c in consts
             ],
             pl.BlockSpec(
-                (CWP, LANES), lambda i, outb, flags: (0, i)
+                (CWP, lanes), lambda i, outb, flags: (0, i)
             ),  # slab stream
         ],
         # one merged (n_coords*W, LANES) accumulator block per bucket
         # block: coord c at rows [c*W, (c+1)*W)
         out_specs=pl.BlockSpec(
-            (n_coords * w, LANES), lambda i, outb, flags: (0, outb[i])
+            (n_coords * w, lanes), lambda i, outb, flags: (0, outb[i])
         ),
     )
-    kernel = _stream_kernel_body(type(group), ctx, n_coords, n_aff, w)
+    kernel = _stream_kernel_body(type(group), ctx, n_coords, n_aff, w, lanes)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_coords * w, nb_total * LANES), jnp.uint32
+            (n_coords * w, nb_total * lanes), jnp.uint32
         ),
         interpret=interpret,
     )(
@@ -388,10 +392,12 @@ def permute_buckets(group, blocks, layout: StreamLayout, order=None):
     return group.Point(*fixed)
 
 
-def stream_supported(chunk_size: int, interpret: bool) -> bool:
-    """The streamed path needs >= LANES bucket lanes per window and a TPU
-    backend (or the interpreter)."""
+def stream_supported(
+    chunk_size: int, interpret: bool, lanes: int = LANES
+) -> bool:
+    """The streamed path needs >= ``lanes`` bucket lanes per window and a
+    TPU backend (or the interpreter)."""
     h = 1 << (chunk_size - 1)
-    if h % LANES != 0:
+    if h % lanes != 0:
         return False
     return interpret or _on_tpu()

@@ -1,0 +1,449 @@
+"""Packed segmented-tree SMVP (v3): bucket sums with NO entry permutation.
+
+The slab stream (ops/smvp_stream.py) pays one 17M-element gather to
+permute the sorted entry stream into slab order — measured 180 ms at
+2^20, the machine's permutation floor (every 17M-element reorder
+primitive costs 75-180 ms on this v5e).  This module replaces stage 3
+with a reduction tree over the *sorted* order, which never permutes:
+
+  level 1 pairs adjacent same-bucket entries of the sorted stream
+  (read near-sequentially, both-affine adds), and every later level
+  pairs adjacent nodes of the previous level's packed output.  After
+  L = ceil(log2(max bucket length)) levels each bucket's sum sits at
+  its packed offset; ONE small row gather (num_buckets rows, composed
+  with the BPR walk order) assembles the bucket array.
+
+Packed layout.  Level k stores bucket b's c_k[b] = ceil(c_{k-1}[b]/2)
+nodes at S_k[b] = exclusive-cumsum(c_k); c_0 = bucket lengths.  Node
+p's children sit at childA(p) = 2p + off(p), childA + 1, where
+off(p) = S_{k-1}[b(p)] - 2 S_k[b(p)] is constant per bucket — a
+per-slot map built by one boundary delta-scatter + cumsum (B-sized
+scatter, T-sized cumsum; no large gathers anywhere in the plan).
+
+Child reads.  childA is monotone with bounded in-block span: off is
+non-increasing across buckets (it drops by 1 per odd bucket), so a
+256-node output block's children span <= 767 slots — three
+consecutive 256-lane tiles of the previous level, selected per block
+by a prefetched tile-base map.  In-kernel alignment uses the Mosaic
+single-vreg dynamic gather (jnp.take_along_axis over 128-lane slices
++ slice-id selects — tools/probe_treegather.py: the full network costs
+~6 ms per 8.6M nodes, noise next to the adds).  Level 1 additionally
+crosses the per-window invalid-entry gaps of the sorted layout, so its
+window tile count is a (rarely > 3) size class from a one-int span
+readback.
+
+Work.  Total adds = sum of entries - nonempty buckets, the information
+floor (the slab stream runs ~1.03x entries); HALF of them are level
+1's both-affine adds (9M vs the stream's 11M mixed).  Tail levels are
+mostly single-child copies, bounded by #buckets per level.
+
+Reference: this stage replaces the serial per-bucket CSC walk of
+smvp_bls12_377.template.wgsl:70-160 (via the sort/segment plan of
+ops/buckets.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .curve import EdwardsOps
+from .field import field_neg
+from .pallas_kernels import (
+    _const_arrays,
+    _on_tpu,
+    _rebuild_group,
+    n_const_arrays,
+)
+
+BLOCK = 256  # output nodes per kernel step
+SIGN_BIT = 30
+IDX_MASK = (1 << SIGN_BIT) - 1
+
+FLAG_SINGLE = 1 << 14  # node has one child: copy/promote, no add
+FLAG_INVALID = 1 << 15  # class-padding slot: write the identity
+LOC_MASK = FLAG_SINGLE - 1
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def level0_class(kn: int, w1_tiles: int = 3) -> int:
+    """Static padded size of the level-0 (sorted entry) stream.
+
+    Strictly > kn so the last childB read stays inside the array, >= 768
+    so a 3-tile window always exists, plus the level-1 window overhang
+    (windows picked for 3 tiles may extend w1_tiles - 3 further)."""
+    return max(_round_up(kn + 1, BLOCK), 768) + BLOCK * (w1_tiles - 3)
+
+
+def level_classes(kn: int, num_buckets: int, levels: int) -> list[int]:
+    """Static packed sizes for levels 1..levels.
+
+    T_k <= (T_{k-1} + #nonempty buckets)/2; the class keeps one strict
+    slot of slack (so child reads never touch the class boundary) and a
+    768 floor (so 3-tile windows exist)."""
+    out = []
+    prev = max(_round_up(kn + 1, BLOCK), 768)
+    for _ in range(levels):
+        prev = max(768, _round_up((prev + num_buckets) // 2 + 1, BLOCK))
+        out.append(prev)
+    return out
+
+
+def num_levels(max_len: int) -> int:
+    """Levels until every bucket is a single node: ceil(log2(maxlen)),
+    size-classed by the caller via the maxlen readback."""
+    return max(1, int(np.ceil(np.log2(max(int(max_len), 2)))))
+
+
+def w1_tiles_for(span1: int) -> int:
+    """Level-1 window tile class from the plan's block-span readback."""
+    return max(3, -(-(255 + int(span1)) // BLOCK))
+
+
+def tree_supported(interpret: bool) -> bool:
+    return interpret or _on_tpu()
+
+
+class TreePlan(NamedTuple):
+    """Plan-program outputs for the tree SMVP (device arrays)."""
+
+    loc1: jnp.ndarray  # (T1cls,) level-1 per-slot child map
+    m1: jnp.ndarray  # (T1cls/256,) level-1 window tile base
+    lens: jnp.ndarray  # (B,) bucket lengths (level >= 2 maps, final mask)
+    stats: jnp.ndarray  # (2,) [max bucket length, max level-1 block span]
+
+
+def build_tree_table(group, table: jnp.ndarray) -> jnp.ndarray:
+    """(C, W, N) Montgomery affine planes -> (2N + 8, R) signed row table.
+
+    Rows [0, N): positive-digit form; [N, 2N): negative (G1: -y;
+    Edwards: -x, -t); row 2N is the all-zero padding row.  R pads the
+    C*W coord words to a multiple of 8 (sublane tiling); unlike the slab
+    table (smvp_stream.build_signed_table) there is NO mask word — tree
+    validity lives in the loc maps — so G1 rows are 128 B, not 256 B.
+    """
+    c, w, n = table.shape
+    if isinstance(group, EdwardsOps):
+        neg = jnp.stack(
+            [field_neg(group.ctx, table[0]), table[1],
+             field_neg(group.ctx, table[2])]
+        )
+    else:
+        neg = jnp.stack([table[0], field_neg(group.ctx, table[1])])
+    both = jnp.concatenate([table, neg], axis=2)  # (C, W, 2N)
+    rows = both.reshape(c * w, 2 * n).T  # (2N, C*W)
+    r = _round_up(c * w, 8)
+    if r > c * w:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((2 * n, r - c * w), jnp.uint32)], axis=1
+        )
+    return jnp.concatenate([rows, jnp.zeros((8, r), jnp.uint32)], axis=0)
+
+
+def build_level_map(
+    s_prev: jnp.ndarray,
+    c_prev: jnp.ndarray,
+    s_k: jnp.ndarray,
+    c_k: jnp.ndarray,
+    t_cls: int,
+    prev_tiles: int,
+    wtiles: int,
+):
+    """Per-slot child map for one tree level (all scatter/cumsum, no
+    large gathers).
+
+    Returns (loc, m, span): loc (t_cls,) packs the window-local childA
+    index with FLAG_SINGLE/FLAG_INVALID; m (t_cls/BLOCK,) is the input
+    window's first tile per output block; span is the max in-block child
+    span + 2 (the level-1 window-class readback; <= 512 whenever off is
+    non-increasing, i.e. every level but 1).
+    """
+    t_k = s_k[-1] + c_k[-1]  # real node count (dynamic)
+    off = s_prev - 2 * s_k  # (B,) constant per bucket
+    delta = jnp.concatenate([off[:1], off[1:] - off[:-1]])
+    plane = (
+        jnp.zeros((t_cls,), jnp.int32).at[s_k].add(delta, mode="drop")
+    )
+    offplane = jnp.cumsum(plane)
+    iota = jnp.arange(t_cls, dtype=jnp.int32)
+    child_a = 2 * iota + offplane
+    cb = child_a.reshape(-1, BLOCK)
+    m = jnp.clip(cb[:, 0] >> 8, 0, prev_tiles - wtiles)
+    base = cb - (m << 8)[:, None]
+    valid = (iota < t_k).reshape(-1, BLOCK)
+    span = jnp.max(jnp.where(valid, cb - cb[:, :1], 0)) + 2
+    singles = (
+        jnp.zeros((t_cls,), jnp.int32)
+        .at[jnp.where((c_prev & 1) == 1, s_k + c_k - 1, t_cls)]
+        .add(FLAG_SINGLE, mode="drop")
+    )
+    base = jnp.clip(base, 0, BLOCK * wtiles - 2)
+    loc = jnp.where(
+        valid.reshape(-1), base.reshape(-1) + singles, FLAG_INVALID
+    )
+    return loc, m, span
+
+
+def build_tree_plan(
+    starts: jnp.ndarray, lens: jnp.ndarray, kn: int
+) -> TreePlan:
+    """Level-1 maps + the two size-class scalars, from the bucket plan.
+
+    Built in the plan program because the [maxlen, span] readback picks
+    the main program's static (levels, window) classes; levels >= 2 maps
+    are rebuilt cheaply inside the main program (B-sized cumsums)."""
+    num_buckets = lens.shape[0]
+    c1 = (lens + 1) >> 1
+    s1 = jnp.cumsum(c1) - c1
+    t1_cls = level_classes(kn, num_buckets, 1)[0]
+    t0_tiles = level0_class(kn) // BLOCK
+    loc1, m1, span1 = build_level_map(
+        starts, lens, s1, c1, t1_cls, t0_tiles, 3
+    )
+    stats = jnp.stack([jnp.max(lens), span1]).astype(jnp.int32)
+    return TreePlan(loc1=loc1, m1=m1, lens=lens, stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def window_gather(W, idx):
+    """out[:, j] = W[:, idx[0, j]] via single-vreg dynamic gathers.
+
+    W (R, win); idx (1, BLOCK) int32 in [0, win).  Each 128-lane output
+    half gathers from every 128-aligned slice of W with one
+    take_along_axis (sources within one vreg by construction) and a
+    slice-id select — tools/probe_treegather.py for semantics + cost.
+    """
+    r, win = W.shape
+    halves = []
+    for h in range(BLOCK // 128):
+        ih = idx[:, h * 128 : (h + 1) * 128]
+        sid = ih >> 7
+        loc_b = jnp.broadcast_to(ih & 127, (r, 128))
+        acc = jnp.zeros((r, 128), W.dtype)
+        for s in range(win // 128):
+            g = jnp.take_along_axis(
+                W[:, s * 128 : (s + 1) * 128], loc_b, axis=1
+            )
+            acc = jnp.where(sid == s, g, acc)
+        halves.append(acc)
+    return jnp.concatenate(halves, axis=1)
+
+
+def _tree_kernel_body(group_cls, ctx, mode, wtiles, last, w, n_coords, n_aff):
+    """One tree level as a Pallas kernel.
+
+    mode "aff": inputs are signed-table affine rows (level 1) — add is
+    the both-affine lazy form, single-child promotes to projective.
+    mode "full": inputs are packed lazy points — full lazy add,
+    single-child copies.  last=True canonicalizes outputs (the tree's
+    one canon, at the smallest level).
+    """
+    n_consts = n_const_arrays(group_cls)
+    pair = (
+        mode == "aff"
+        and hasattr(group_cls, "add_affine_lazy_pair")
+        and os.environ.get("MSM_PAIR_REDC", "1") != "0"
+    )
+
+    def kernel(*refs):
+        # [m (prefetch)] [consts...] [loc] [tile_0..tile_{wtiles-1}] [out]
+        const_vals = [r[...] for r in refs[1 : 1 + n_consts]]
+        loc = refs[1 + n_consts][...]  # (1, BLOCK) int32
+        tiles = refs[2 + n_consts : 2 + n_consts + wtiles]
+        out_ref = refs[2 + n_consts + wtiles]
+        kgroup = _rebuild_group(group_cls, ctx, const_vals)
+
+        W = jnp.concatenate([t[...] for t in tiles], axis=1)
+        invalid = (loc & FLAG_INVALID) != 0
+        single = (loc & FLAG_SINGLE) != 0
+        ia = loc & LOC_MASK
+        if mode == "aff":
+            W = W[: n_aff * w]
+        a_rows = window_gather(W, ia)
+        b_rows = window_gather(W, ia + 1)
+        if mode == "aff":
+            aff_a = tuple(a_rows[c * w : (c + 1) * w] for c in range(n_aff))
+            aff_b = tuple(b_rows[c * w : (c + 1) * w] for c in range(n_aff))
+            res = (
+                kgroup.add_affine_lazy_pair(aff_a, aff_b)
+                if pair
+                else kgroup.add_affine_lazy(aff_a, aff_b)
+            )
+            alt = kgroup.from_affine(aff_a)
+        else:
+            pa = kgroup.Point(
+                *(a_rows[c * w : (c + 1) * w] for c in range(n_coords))
+            )
+            pb = kgroup.Point(
+                *(b_rows[c * w : (c + 1) * w] for c in range(n_coords))
+            )
+            res = kgroup.add_lazy(pa, pb)
+            alt = pa
+        zero = kgroup.zero((BLOCK,))
+        sel = kgroup.Point(
+            *(
+                jnp.where(invalid, z, jnp.where(single, av, rv))
+                for z, av, rv in zip(zero, alt, res)
+            )
+        )
+        if last:
+            sel = kgroup.canon(sel)
+        for c, v in enumerate(sel):
+            out_ref[c * w : (c + 1) * w] = v
+
+    return kernel
+
+
+def run_tree_level(
+    group,
+    arr_in: jnp.ndarray,
+    loc: jnp.ndarray,
+    m: jnp.ndarray,
+    t_cls: int,
+    mode: str,
+    wtiles: int,
+    last: bool,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run one level kernel: arr_in (rows_in, prev_cls) -> merged
+    (n_coords*W, t_cls) packed node planes."""
+    ctx = group.ctx
+    w = ctx.num_words
+    n_aff = group.AFFINE_COORDS
+    n_coords = len(group.zero((1,)))
+    consts = _const_arrays(group)
+    rows_in = arr_in.shape[0]
+
+    def tile_spec(k):
+        return pl.BlockSpec((rows_in, BLOCK), lambda i, m, _k=k: (0, m[i] + _k))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_cls // BLOCK,),
+        in_specs=[
+            *[
+                pl.BlockSpec(
+                    (c.shape[0], 1),
+                    lambda i, m: (0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for c in consts
+            ],
+            pl.BlockSpec((1, BLOCK), lambda i, m: (0, i)),
+            *[tile_spec(k) for k in range(wtiles)],
+        ],
+        out_specs=pl.BlockSpec(
+            (n_coords * w, BLOCK), lambda i, m: (0, i)
+        ),
+    )
+    kernel = _tree_kernel_body(
+        type(group), ctx, mode, wtiles, last, w, n_coords, n_aff
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_coords * w, t_cls), jnp.uint32),
+        interpret=interpret,
+    )(
+        m,
+        *[jnp.asarray(c) for c in consts],
+        loc.reshape(1, -1),
+        *([arr_in] * wtiles),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage driver
+# ---------------------------------------------------------------------------
+
+
+def gather_level0(
+    tree_table: jnp.ndarray,
+    sorted_vals: jnp.ndarray,
+    w1_tiles: int,
+) -> jnp.ndarray:
+    """Signed-table rows in SORTED ENTRY ORDER: (R, T0cls).
+
+    The indices are an elementwise transform of sorted_vals — this is
+    the point-row gather the slab path also pays, WITHOUT the 17M-element
+    slab-order permutation that precedes it there."""
+    kn = sorted_vals.shape[0]
+    n = (tree_table.shape[0] - 8) // 2
+    t0 = level0_class(kn, w1_tiles)
+    idx = sorted_vals & IDX_MASK
+    neg = 1 - ((sorted_vals >> SIGN_BIT) & 1)
+    idx2 = idx + neg * n
+    pad = jnp.full((t0 - kn,), 2 * n, jnp.int32)
+    idx2 = jnp.concatenate([idx2, pad])
+    return jnp.take(tree_table, idx2, axis=0).T
+
+
+def tree_smvp(
+    group,
+    tree_table: jnp.ndarray,
+    sorted_vals: jnp.ndarray,
+    plan: TreePlan,
+    levels: int,
+    w1_tiles: int,
+    interpret: bool = False,
+):
+    """Full tree reduction: returns (final, s_fin) where final is the
+    (n_coords*W, T_Lcls) canonical packed plane and s_fin (B,) the
+    packed offset of each bucket's sum (valid where lens > 0)."""
+    kn = sorted_vals.shape[0]
+    num_buckets = plan.lens.shape[0]
+    t_cls = level_classes(kn, num_buckets, levels)
+    arr0 = gather_level0(tree_table, sorted_vals, w1_tiles)
+    lvl = run_tree_level(
+        group, arr0, plan.loc1, plan.m1, t_cls[0], "aff", w1_tiles,
+        last=(levels == 1), interpret=interpret,
+    )
+    c_prev = (plan.lens + 1) >> 1
+    s_prev = jnp.cumsum(c_prev) - c_prev
+    for k in range(2, levels + 1):
+        c_k = (c_prev + 1) >> 1
+        s_k = jnp.cumsum(c_k) - c_k
+        loc, m, _span = build_level_map(
+            s_prev, c_prev, s_k, c_k, t_cls[k - 1],
+            t_cls[k - 2] // BLOCK, 3,
+        )
+        lvl = run_tree_level(
+            group, lvl, loc, m, t_cls[k - 1], "full", 3,
+            last=(k == levels), interpret=interpret,
+        )
+        c_prev, s_prev = c_k, s_k
+    return lvl, s_prev
+
+
+def permute_tree(group, final, s_fin, lens, order=None):
+    """Packed tree output -> window-major (or order-composed) bucket
+    batch; empty buckets become the group identity.  The analogue of
+    smvp_stream.permute_buckets — one small row gather of B rows."""
+    w = group.ctx.num_words
+    n_coords = final.shape[0] // w
+    idx = jnp.where(lens > 0, s_fin, 0)
+    mask = lens > 0
+    if order is not None:
+        o = jnp.asarray(order, jnp.int32).reshape(-1)
+        idx = jnp.take(idx, o)
+        mask = jnp.take(mask, o)
+    sel = jnp.take(final.T, idx, axis=0).T  # (n_coords*W, B')
+    coords = [sel[c * w : (c + 1) * w] for c in range(n_coords)]
+    zero = group.zero((1,))
+    fixed = [
+        jnp.where(mask[None, :], c, z[:, :1]) for c, z in zip(coords, zero)
+    ]
+    return group.Point(*fixed)

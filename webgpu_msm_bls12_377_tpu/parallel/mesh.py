@@ -188,6 +188,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
         group = self.group
         mesh = self.mesh
         num_windows = num_windows_for(chunk_size)
+        lanes = self.stream_lanes
 
         @partial(
             shard_map,
@@ -213,7 +214,9 @@ class ShardedMsmEngine(CuzkMsmEngine):
                 scalar_words, chunk_size, num_windows
             )
             plan = build_bucket_plan(digits, chunk_size)
-            layout = build_stream_layout(plan.starts, plan.lens, num_windows)
+            layout = build_stream_layout(
+                plan.starts, plan.lens, num_windows, lanes
+            )
             smax = jax.lax.pmax(layout.total_slabs, AXIS)
             lay_tuple = (
                 layout.starts_rk,
@@ -239,7 +242,8 @@ class ShardedMsmEngine(CuzkMsmEngine):
         mesh = self.mesh
         num_windows = num_windows_for(chunk_size)
         h = 1 << (chunk_size - 1)
-        nb_total = num_windows * h // smvp_stream.LANES
+        lanes = self.stream_lanes
+        nb_total = num_windows * h // lanes
         bpr_threads = self.num_bpr_threads
         n_dev = mesh.devices.size
         # Window-sharded BPR (see main_fn): each chip reduces only
@@ -282,7 +286,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
             )
             blocks = accumulate_buckets_streamed(
                 group, arr, outb, flags, nb_total,
-                interpret=interpret,
+                interpret=interpret, lanes=lanes,
             )
             if window_sharded:
                 # per-chip PARTIAL buckets, window-major
@@ -370,7 +374,8 @@ class ShardedMsmEngine(CuzkMsmEngine):
         d = self.mesh.devices.size
         interp = self.smvp_mode == "stream-interpret"
         plan_fn = self._cache_get(
-            ("sharded", self.curve, "splan", chunk_size, n, d),
+            ("sharded", self.curve, "splan", chunk_size, n, d,
+             self.stream_lanes),
             lambda: self._build_sharded_stream_plan_fn(chunk_size),
         )
         pw = self._put(point_words, P(None, None, AXIS))
@@ -382,7 +387,7 @@ class ShardedMsmEngine(CuzkMsmEngine):
         main_fn = self._cache_get(
             (
                 "sharded", self.curve, "smain", chunk_size, n, d, s_slabs,
-                self.num_bpr_threads, interp,
+                self.num_bpr_threads, interp, self.stream_lanes,
             ),
             lambda: self._build_sharded_stream_main_fn(
                 chunk_size, s_slabs, interp
