@@ -135,6 +135,9 @@ def main():
                     choices=["auto", "stream", "fused", "legacy",
                              "stream-interpret", "interpret",
                              "tree", "tree-interpret"])
+    ap.add_argument("--tree-finish", type=int, default=None, metavar="K",
+                    help="tree mode: run K pairwise levels, then the "
+                         "packed stream finish (default: every level)")
     ap.add_argument("--batch", type=int, default=0, metavar="K",
                     help="batched-pipelined mode (BASELINE config 5): K "
                          "scalar sets over one fixed point set; reports "
@@ -245,7 +248,8 @@ def main():
         engine = ShardedMsmEngine(curve, chunk_size=chunk_size)
     else:
         engine = CuzkMsmEngine(
-            curve, chunk_size=chunk_size, smvp_mode=args.smvp_mode
+            curve, chunk_size=chunk_size, smvp_mode=args.smvp_mode,
+            tree_finish=args.tree_finish,
         )
 
     if args.batch:

@@ -72,6 +72,26 @@ def _plan(device_inputs):
     return ops, table, plan
 
 
+def test_take_rows_t_chunked_matches_monolithic(monkeypatch):
+    """The piecewise gather+transpose (the HBM-cliff fix for the
+    Edwards 2^20 chunk-15 crash) is bit-identical to take(...).T,
+    including the zero-padded out_rows form."""
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(
+        rng.integers(0, 1 << 32, size=(500, 16), dtype=np.uint32)
+    )
+    idx = jnp.asarray(rng.integers(0, 500, size=4096, dtype=np.int32))
+    want = np.asarray(jnp.take(table, idx, axis=0).T)
+    monkeypatch.setattr(ss, "TRANSPOSE_PIECE_BYTES", 32 << 10)  # 13 pieces
+    got = np.asarray(jax.jit(ss._take_rows_T)(table, idx))
+    assert np.array_equal(got, want)
+    got_pad = np.asarray(
+        jax.jit(lambda t, i: ss._take_rows_T(t, i, out_rows=24))(table, idx)
+    )
+    assert np.array_equal(got_pad[:16], want)
+    assert np.all(got_pad[16:] == 0)
+
+
 def test_layout_matches_numpy(device_inputs):
     """build_stream_layout == a straightforward numpy construction."""
     _, _, plan = _plan(device_inputs)

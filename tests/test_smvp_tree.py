@@ -193,6 +193,57 @@ def test_tree_engine_edwards(case):
     assert (got["x"], got["y"]) == want
 
 
+@pytest.mark.parametrize("k_finish", [1, 2])
+def test_hybrid_engine_end_to_end(case, k_finish):
+    """Tree levels 1..K + packed stream finish == oracle (interpret).
+
+    stream_lanes=8 so chunk-4 windows (h = 8 buckets) form whole
+    finish-kernel blocks."""
+    pts, scalars = case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    eng = CuzkMsmEngine(
+        CurveId.BLS12_377, chunk_size=CHUNK, smvp_mode="tree-interpret",
+        tree_finish=k_finish, stream_lanes=8,
+    )
+    got = eng.compute_msm(aff, scalars)
+    want = crv.g1_to_affine(naive_msm(pts, scalars, G1))
+    assert (got["x"], got["y"]) == want
+
+
+def test_hybrid_engine_edwards(case):
+    """Edwards through the hybrid path (4 projective state coords)."""
+    rng = random.Random("tree-ed-h")
+    pts = [
+        crv.ed_scalar_mult(crv.ED_GENERATOR, rng.randrange(1, 1 << 60))
+        for _ in range(N)
+    ]
+    scalars = [rng.randrange(0, 1 << 253) for _ in range(N)]
+    aff = [crv.ed_to_affine(p) for p in pts]
+    eng = CuzkMsmEngine(
+        CurveId.EDWARDS_BLS12, chunk_size=CHUNK,
+        smvp_mode="tree-interpret", tree_finish=1, stream_lanes=8,
+    )
+    got = eng.compute_msm(aff, scalars)
+    want = crv.ed_to_affine(naive_msm(pts, scalars, EDWARDS))
+    assert (got["x"], got["y"]) == want
+
+
+def test_hybrid_engine_duplicate_heavy(case):
+    """Hot-bucket inputs through the hybrid: one bucket per window holds
+    ALL entries — the finish kernel's block runs maxlen/2 rounds."""
+    pts, _ = case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    s = 0x1234_5678_9ABC_DEF0
+    scalars = [s] * N
+    eng = CuzkMsmEngine(
+        CurveId.BLS12_377, chunk_size=CHUNK, smvp_mode="tree-interpret",
+        tree_finish=1, stream_lanes=8,
+    )
+    got = eng.compute_msm(aff, scalars)
+    want = crv.g1_to_affine(naive_msm(pts, scalars, G1))
+    assert (got["x"], got["y"]) == want
+
+
 def test_tree_engine_duplicate_heavy(case):
     """Hot-bucket inputs (every scalar equal): one bucket per window
     holds ALL entries — the deepest trees and maximal single-chains."""

@@ -56,11 +56,13 @@ from ..ops.smvp_stream import (
     stream_supported,
 )
 from ..ops.smvp_tree import (
+    build_hybrid_plan,
     build_tree_plan,
     build_tree_table,
     num_levels,
     permute_tree,
     tree_smvp,
+    tree_smvp_hybrid,
     tree_supported,
     w1_tiles_for,
 )
@@ -163,6 +165,7 @@ class CuzkMsmEngine:
         smvp_mode: str = "auto",
         autotune: bool = False,
         stream_lanes: int | None = None,
+        tree_finish: int | None = None,
     ):
         """smvp_mode selects the SMVP stage implementation:
 
@@ -204,6 +207,12 @@ class CuzkMsmEngine:
         #: consult the persisted on-device tuning table
         #: (harness/autotune.py) before the static policy
         self.autotune = autotune
+        # tree-mode finish stage: run this many pairwise tree levels,
+        # then the packed stream finish (ops/smvp_tree.py hybrid).
+        # None -> pure tree (every level to a single node per bucket).
+        if tree_finish is not None and tree_finish < 1:
+            raise ValueError(f"tree_finish must be >= 1, got {tree_finish}")
+        self.tree_finish = tree_finish
         assert smvp_mode in (
             "auto", "stream", "stream-interpret", "tree", "tree-interpret",
             "fused", "interpret", "legacy",
@@ -395,6 +404,8 @@ class CuzkMsmEngine:
         ctx = self.ctx
         group = self.group
         num_windows = num_windows_for(chunk_size)
+        k_finish = self.tree_finish
+        lanes = self.stream_lanes
 
         def plan_fn(point_words, scalar_words):
             table = mont_point_table(ctx, group, point_words)
@@ -402,9 +413,14 @@ class CuzkMsmEngine:
                 scalar_words, chunk_size, num_windows
             )
             plan = build_bucket_plan(digits, chunk_size)
-            tplan = build_tree_plan(
-                plan.starts, plan.lens, plan.sorted_vals.shape[0]
-            )
+            kn = plan.sorted_vals.shape[0]
+            if k_finish is not None:
+                tplan = build_hybrid_plan(
+                    plan.starts, plan.lens, kn, k_finish, num_windows,
+                    lanes,
+                )
+            else:
+                tplan = build_tree_plan(plan.starts, plan.lens, kn)
             return build_tree_table(group, table), plan.sorted_vals, tplan
 
         return plan_fn
@@ -433,28 +449,75 @@ class CuzkMsmEngine:
 
         return main_fn
 
+    def _build_hybrid_main_fn(
+        self, chunk_size: int, k_levels: int, w1t: int, s_slabs: int,
+        interpret: bool,
+    ):
+        ctx = self.ctx
+        group = self.group
+        num_windows = num_windows_for(chunk_size)
+        bpr_threads = self.num_bpr_threads
+        lanes = self.stream_lanes
+        order = bpr_order(num_windows, chunk_size, bpr_threads)
+
+        def main_fn(tree_table, sorted_vals, tplan):
+            blocks = tree_smvp_hybrid(
+                group, tree_table, sorted_vals, tplan, k_levels, w1t,
+                s_slabs, interpret=interpret, lanes=lanes,
+            )
+            buckets = permute_buckets(
+                group, blocks, tplan.layout, order=order
+            )
+            wsums = reduce_buckets_prearranged(
+                group, buckets, num_windows, chunk_size, bpr_threads
+            )
+            return tuple(from_mont(ctx, c) for c in wsums)
+
+        return main_fn
+
     def _msm_device_tree(self, point_words, scalar_words, chunk_size: int):
         n = point_words.shape[-1]
         interp = self.smvp_mode == "tree-interpret"
         plan_fn = self._cache_get(
-            (self.curve, "tplan", chunk_size, n),
+            (
+                self.curve, "tplan", chunk_size, n, self.tree_finish,
+                self.stream_lanes,
+            ),
             lambda: self._build_tree_plan_fn(chunk_size),
         )
         tree_table, sorted_vals, tplan = plan_fn(
             jnp.asarray(point_words), jnp.asarray(scalar_words)
         )
-        maxlen, span = (int(v) for v in np.asarray(tplan.stats))
-        levels = num_levels(maxlen)
-        w1t = w1_tiles_for(span)
-        main_fn = self._cache_get(
-            (
-                self.curve, "tmain", chunk_size, n, levels, w1t,
-                self.num_bpr_threads, interp,
-            ),
-            lambda: self._build_tree_main_fn(
-                chunk_size, levels, w1t, interp
-            ),
-        )
+        if self.tree_finish is not None:
+            maxlen, span, total_slabs = (
+                int(v) for v in np.asarray(tplan.stats)
+            )
+            w1t = w1_tiles_for(span)
+            s_slabs = slab_class(total_slabs, n)
+            assert s_slabs >= total_slabs, (s_slabs, total_slabs)
+            main_fn = self._cache_get(
+                (
+                    self.curve, "hmain", chunk_size, n, self.tree_finish,
+                    w1t, s_slabs, self.num_bpr_threads, interp,
+                    self.stream_lanes,
+                ),
+                lambda: self._build_hybrid_main_fn(
+                    chunk_size, self.tree_finish, w1t, s_slabs, interp
+                ),
+            )
+        else:
+            maxlen, span = (int(v) for v in np.asarray(tplan.stats))
+            levels = num_levels(maxlen)
+            w1t = w1_tiles_for(span)
+            main_fn = self._cache_get(
+                (
+                    self.curve, "tmain", chunk_size, n, levels, w1t,
+                    self.num_bpr_threads, interp,
+                ),
+                lambda: self._build_tree_main_fn(
+                    chunk_size, levels, w1t, interp
+                ),
+            )
         coords = main_fn(tree_table, sorted_vals, tplan)
         return tuple(np.asarray(c) for c in coords)
 

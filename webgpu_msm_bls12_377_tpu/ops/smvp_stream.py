@@ -90,7 +90,7 @@ class StreamLayout(NamedTuple):
 
 def build_stream_layout(
     starts: jnp.ndarray, lens: jnp.ndarray, num_windows: int,
-    lanes: int = LANES,
+    lanes: int | None = None,
 ) -> StreamLayout:
     """Length-sorted block/slab layout from the bucket segment arrays.
 
@@ -99,6 +99,7 @@ def build_stream_layout(
     lanes: bucket lanes per block — the production 256 by default;
     dryruns/tests shrink it so tiny windows still form whole blocks.
     """
+    lanes = LANES if lanes is None else lanes
     num_buckets = starts.shape[0]
     h = num_buckets // num_windows
     assert h % lanes == 0, (h, lanes)
@@ -177,31 +178,24 @@ def build_signed_table(group, table: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def gather_slabs(
-    signed_table: jnp.ndarray,
-    sorted_vals: jnp.ndarray,
-    layout: StreamLayout,
-    s_slabs: int,
-):
-    """Materialize the slab-stream array + kernel prefetch maps.
+def _slab_schedule(layout: StreamLayout, s_slabs: int):
+    """Shared slab->block schedule: (valid, src, outb, flags).
 
-    Returns (arr, outb, flags): arr (CWP, s_slabs*LANES) transposed slab
-    stream; outb/flags (s_slabs,) prefetch maps.  flags packs three bits
-    per slab — SMEM holds ~1 MB total and each 2^20-class map costs
-    272 KB, so separate maps would blow the scoped SMEM budget:
+    valid/src are (s_slabs, LANES): per-lane validity and the global
+    segment slot each (slab, lane) consumes.  outb/flags (s_slabs,) are
+    the kernel prefetch maps; flags packs three bits per slab — SMEM
+    holds ~1 MB total and each 2^20-class map costs 272 KB, so separate
+    maps would blow the scoped SMEM budget:
 
       bit 0 (FLAG_FIRST): block's first slab — init the accumulator;
       bit 1 (FLAG_LAST):  block's final active slab — the kernel
           canonicalizes the lazy-domain accumulator there (cheaper than
           a separate full-bucket-array canon pass);
       bit 2 (FLAG_ACT):   active slab — clear for the static-class tail,
-          whose slabs gather only the zero row, skip all adds, and
-          revisit the last block (keeping output revisiting consecutive).
+          whose slabs gather only padding, skip all adds, and revisit
+          the last block (keeping output revisiting consecutive).
     """
-    n = (signed_table.shape[0] - 8) // 2
     nb_total = layout.starts_rk.shape[0]
-    zero_row = jnp.int32(2 * n)
-
     sl = jnp.arange(s_slabs, dtype=jnp.int32)
     active = sl < layout.total_slabs
     # block id per slab: +1 at each block's first slab, cumsum
@@ -224,15 +218,101 @@ def gather_slabs(
     l_rows = jnp.take(layout.lens_rk, bid, axis=0)
     valid = active[:, None] & (t[:, None] < l_rows)
     src = s_rows + jnp.minimum(t[:, None], l_rows - 1)
+    return valid, src, outb, flags
+
+
+#: piece bound for _take_rows_T; overridable for tests
+TRANSPOSE_PIECE_BYTES = 512 << 20
+
+
+def _take_rows_T(
+    table: jnp.ndarray, idx: jnp.ndarray, out_rows: int | None = None
+) -> jnp.ndarray:
+    """take(table, idx, axis=0).T materialized in bounded pieces.
+
+    The monolithic gather + transpose keeps BOTH layouts live — 2x the
+    slab-stream bytes (9.4 GB at Edwards 2^20 chunk-15), the HBM cliff
+    behind the reproducible worker crash (PERF.md round 4).  Pieces of
+    <= TRANSPOSE_PIECE_BYTES are gathered, transposed and written into
+    the output with dynamic_update_slice, which XLA performs in place:
+    peak extra memory is one piece (both layouts) instead of a full
+    second copy.  out_rows > table.shape[1] zero-pads extra rows.
+    """
+    m = idx.shape[0]
+    cwp = table.shape[1]
+    out_rows = cwp if out_rows is None else out_rows
+    pieces = max(1, -(-(m * cwp * 4) // TRANSPOSE_PIECE_BYTES))
+    if pieces == 1 and out_rows == cwp:
+        return jnp.take(table, idx, axis=0).T
+    step = _round_up(-(-m // pieces), 1024)  # lane-tile-aligned columns
+    out = jnp.zeros((out_rows, m), table.dtype)
+    for lo in range(0, m, step):
+        g = jnp.take(table, idx[lo : lo + step], axis=0)
+        out = jax.lax.dynamic_update_slice(out, g.T, (0, lo))
+    return out
+
+
+def _round_up(v: int, mult: int) -> int:
+    return -(-v // mult) * mult
+
+
+def gather_slabs(
+    signed_table: jnp.ndarray,
+    sorted_vals: jnp.ndarray,
+    layout: StreamLayout,
+    s_slabs: int,
+):
+    """Materialize the slab-stream array + kernel prefetch maps.
+
+    Returns (arr, outb, flags): arr (CWP, s_slabs*LANES) transposed slab
+    stream; outb/flags (s_slabs,) prefetch maps (_slab_schedule).
+    Invalid (lane, round) pairs gather the signed table's zero row,
+    whose zero MASK_WORD disables the add.
+    """
+    n = (signed_table.shape[0] - 8) // 2
+    zero_row = jnp.int32(2 * n)
+    valid, src, outb, flags = _slab_schedule(layout, s_slabs)
     sv = jnp.take(sorted_vals, jnp.where(valid, src, 0).reshape(-1))
     idx = sv & IDX_MASK
     neg = 1 - ((sv >> SIGN_BIT) & 1)  # sign_pos==1 -> positive form
     idx2 = jnp.where(valid.reshape(-1), idx + neg * n, zero_row)
-    g = jnp.take(signed_table, idx2, axis=0)  # (s_slabs*LANES, CWP)
-    return g.T, outb, flags
+    return _take_rows_T(signed_table, idx2), outb, flags
 
 
-def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w, lanes=LANES):
+def packed_cwp(n_rows: int) -> int:
+    """Padded row count for a packed (projective) slab: coords + a mask
+    word, rounded to the 8-sublane tile."""
+    return -(-(n_rows + 1) // 8) * 8
+
+
+def gather_packed_slabs(
+    plane: jnp.ndarray,
+    layout: StreamLayout,
+    s_slabs: int,
+):
+    """Slab stream over PACKED PROJECTIVE nodes (the tree-hybrid finish).
+
+    plane: (n_coords*W, T) merged lazy-domain node plane (a tree level's
+    output, ops/smvp_tree.py); layout: stream layout built over the
+    packed per-bucket segments (S_K, c_K).  Returns (arr, outb, flags)
+    with arr (CWP2, s_slabs*LANES), CWP2 = packed_cwp(rows): each slab
+    column is a node's coords plus a validity word at CWP2-1.  Unlike
+    gather_slabs there is no signed-table indirection — the layout's
+    segment slots ARE row indices into the plane — and no zero row:
+    invalid lanes gather row 0 and are disabled by the mask word.
+    """
+    rows = plane.shape[0]
+    cwp2 = packed_cwp(rows)
+    valid, src, outb, flags = _slab_schedule(layout, s_slabs)
+    idx = jnp.where(valid, src, 0).reshape(-1)
+    arr = _take_rows_T(plane.T, idx, out_rows=cwp2)
+    mask = valid.reshape(1, -1).astype(jnp.uint32)
+    arr = jax.lax.dynamic_update_slice(arr, mask, (cwp2 - 1, 0))
+    return arr, outb, flags
+
+
+def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w, lanes=None):
+    lanes = LANES if lanes is None else lanes
     n_consts = n_const_arrays(group_cls)
     # paired-product reduction (field.py:mont_mul_pair) where the group
     # has it (G1); MSM_PAIR_REDC=0 pins the unpaired formula for A/B
@@ -299,6 +379,120 @@ def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w, lanes=LANES):
     return kernel
 
 
+def _packed_kernel_body(group_cls, ctx, n_coords, w, cwp2, lanes=None):
+    """Stream-kernel body over packed PROJECTIVE slabs (tree-hybrid
+    finish): the addend is a lazy-domain point (add_lazy, closed under
+    the 4p bound), not a signed-table affine row.  Flag semantics are
+    identical to _stream_kernel_body."""
+    lanes = LANES if lanes is None else lanes
+    n_consts = n_const_arrays(group_cls)
+
+    def kernel(*refs):
+        # [outb, flags (prefetch)] [consts..., data] [out]
+        flags_ref = refs[1]
+        const_vals = [r[...] for r in refs[2 : 2 + n_consts]]
+        data_ref = refs[2 + n_consts]
+        out_ref = refs[3 + n_consts]
+
+        kgroup = _rebuild_group(group_cls, ctx, const_vals)
+        i = pl.program_id(0)
+        flags = flags_ref[i]
+
+        def read_acc():
+            return tuple(
+                out_ref[c * w : (c + 1) * w] for c in range(n_coords)
+            )
+
+        def write(vals):
+            for c, v in enumerate(vals):
+                out_ref[c * w : (c + 1) * w] = v
+
+        @pl.when(flags & FLAG_ACT != 0)
+        def _():
+            first = flags & FLAG_FIRST
+            slab = data_ref[...]  # (CWP2, LANES)
+            node = kgroup.Point(
+                *(slab[c * w : (c + 1) * w] for c in range(n_coords))
+            )
+            m = slab[cwp2 - 1 : cwp2, :]  # (1, LANES) 0/1
+
+            zero = kgroup.zero((lanes,))
+            acc = tuple(
+                jnp.where(first == FLAG_FIRST, z, o)
+                for z, o in zip(zero, read_acc())
+            )
+            new = kgroup.add_lazy(kgroup.Point(*acc), node)
+            write(
+                tuple(
+                    jnp.where(m, nv, av) for nv, av in zip(new, acc)
+                )
+            )
+
+        @pl.when(flags & FLAG_LAST != 0)
+        def _():
+            can = kgroup.canon(kgroup.Point(*read_acc()))
+            write(tuple(can))
+
+    return kernel
+
+
+def accumulate_packed_streamed(
+    group,
+    arr: jnp.ndarray,
+    outb: jnp.ndarray,
+    flags: jnp.ndarray,
+    nb_total: int,
+    interpret: bool = False,
+    lanes: int | None = None,
+):
+    """Run the packed-projective slab kernel (gather_packed_slabs inputs);
+    returns the block-ordered bucket batch, same contract as
+    accumulate_buckets_streamed."""
+    lanes = LANES if lanes is None else lanes
+    ctx = group.ctx
+    w = ctx.num_words
+    n_coords = len(group.zero((1,)))
+    cwp2 = arr.shape[0]
+    assert cwp2 == packed_cwp(n_coords * w), (cwp2, n_coords, w)
+    consts = _const_arrays(group)
+    s_slabs = outb.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s_slabs,),
+        in_specs=[
+            *[
+                pl.BlockSpec(
+                    (c.shape[0], 1),
+                    lambda i, outb, flags: (0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for c in consts
+            ],
+            pl.BlockSpec(
+                (cwp2, lanes), lambda i, outb, flags: (0, i)
+            ),  # packed slab stream
+        ],
+        out_specs=pl.BlockSpec(
+            (n_coords * w, lanes), lambda i, outb, flags: (0, outb[i])
+        ),
+    )
+    kernel = _packed_kernel_body(type(group), ctx, n_coords, w, cwp2, lanes)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_coords * w, nb_total * lanes), jnp.uint32
+        ),
+        interpret=interpret,
+    )(
+        outb,
+        flags,
+        *[jnp.asarray(c) for c in consts],
+        arr,
+    )
+
+
 def accumulate_buckets_streamed(
     group,
     arr: jnp.ndarray,
@@ -306,11 +500,12 @@ def accumulate_buckets_streamed(
     flags: jnp.ndarray,
     nb_total: int,
     interpret: bool = False,
-    lanes: int = LANES,
+    lanes: int | None = None,
 ):
     """Run the slab-stream kernel; returns the block-ordered bucket batch
     (one lane per bucket, LENGTH-SORTED rank order — apply
     StreamLayout.perm to address bucket (w, j))."""
+    lanes = LANES if lanes is None else lanes
     ctx = group.ctx
     w = ctx.num_words
     n_aff = group.AFFINE_COORDS
@@ -393,10 +588,11 @@ def permute_buckets(group, blocks, layout: StreamLayout, order=None):
 
 
 def stream_supported(
-    chunk_size: int, interpret: bool, lanes: int = LANES
+    chunk_size: int, interpret: bool, lanes: int | None = None
 ) -> bool:
     """The streamed path needs >= ``lanes`` bucket lanes per window and a
     TPU backend (or the interpreter)."""
+    lanes = LANES if lanes is None else lanes
     h = 1 << (chunk_size - 1)
     if h % lanes != 0:
         return False

@@ -61,6 +61,13 @@ from .pallas_kernels import (
     _rebuild_group,
     n_const_arrays,
 )
+from . import smvp_stream
+from .smvp_stream import (
+    StreamLayout,
+    accumulate_packed_streamed,
+    build_stream_layout,
+    gather_packed_slabs,
+)
 
 BLOCK = 256  # output nodes per kernel step
 SIGN_BIT = 30
@@ -426,6 +433,117 @@ def tree_smvp(
         )
         c_prev, s_prev = c_k, s_k
     return lvl, s_prev
+
+
+# ---------------------------------------------------------------------------
+# Hybrid finish: tree levels 1..K, then the length-sorted stream kernel
+# over the packed level-K plane
+# ---------------------------------------------------------------------------
+#
+# The pure tree's tail levels are IO-bound copies: packed level sizes
+# floor at the bucket count, so levels 5..8 at 2^20 move ~360 B/node for
+# ~0.5M mostly-single-child nodes each (probe_tree_stages: ~130 ms of
+# 2^20 runtime including their maps).  The finish replaces every level
+# past K with ONE pass of the proven slab-stream machinery
+# (ops/smvp_stream.py) applied to the packed level-K nodes: the
+# length-sorted block layout runs ~1.03x the true remaining adds, and
+# the permutation it needs is a T_K-row gather (T_2 ~ 4.6M at 2^20 —
+# 4x fewer rows than the level-0 stream path pays, and the 17M-element
+# sorted_vals permute the tree exists to kill stays dead).
+
+
+class HybridPlan(NamedTuple):
+    """Plan-program outputs for the hybrid tree+finish SMVP."""
+
+    loc1: jnp.ndarray  # (T1cls,) level-1 per-slot child map
+    m1: jnp.ndarray  # (T1cls/256,) level-1 window tile base
+    lens: jnp.ndarray  # (B,) bucket lengths (level >= 2 maps)
+    layout: StreamLayout  # finish-stage layout over (S_K, c_K)
+    stats: jnp.ndarray  # (3,) [maxlen, level-1 span, total_slabs]
+
+
+def chain_counts(lens: jnp.ndarray, k_levels: int):
+    """Per-bucket packed node counts/offsets after k pairwise levels."""
+    c = lens
+    s = None
+    for _ in range(k_levels):
+        c = (c + 1) >> 1
+        s = jnp.cumsum(c) - c
+    return c, s
+
+
+def build_hybrid_plan(
+    starts: jnp.ndarray,
+    lens: jnp.ndarray,
+    kn: int,
+    k_levels: int,
+    num_windows: int,
+    lanes: int,
+) -> HybridPlan:
+    """Level-1 maps + the finish-stage stream layout + 3 class scalars."""
+    num_buckets = lens.shape[0]
+    c1 = (lens + 1) >> 1
+    s1 = jnp.cumsum(c1) - c1
+    t1_cls = level_classes(kn, num_buckets, 1)[0]
+    t0_tiles = level0_class(kn) // BLOCK
+    loc1, m1, span1 = build_level_map(
+        starts, lens, s1, c1, t1_cls, t0_tiles, 3
+    )
+    c_k, s_k = chain_counts(lens, k_levels)
+    layout = build_stream_layout(s_k, c_k, num_windows, lanes)
+    stats = jnp.stack(
+        [jnp.max(lens), span1, layout.total_slabs]
+    ).astype(jnp.int32)
+    return HybridPlan(
+        loc1=loc1, m1=m1, lens=lens, layout=layout, stats=stats
+    )
+
+
+def tree_smvp_hybrid(
+    group,
+    tree_table: jnp.ndarray,
+    sorted_vals: jnp.ndarray,
+    plan: HybridPlan,
+    k_levels: int,
+    w1_tiles: int,
+    s_slabs: int,
+    interpret: bool = False,
+    lanes: int | None = None,
+):
+    """Tree levels 1..k_levels, then the packed stream finish.
+
+    Returns the block-ordered bucket batch (one lane per bucket,
+    length-sorted rank order — address via plan.layout, e.g.
+    smvp_stream.permute_buckets)."""
+    lanes = smvp_stream.LANES if lanes is None else lanes
+    kn = sorted_vals.shape[0]
+    num_buckets = plan.lens.shape[0]
+    t_cls = level_classes(kn, num_buckets, k_levels)
+    arr0 = gather_level0(tree_table, sorted_vals, w1_tiles)
+    lvl = run_tree_level(
+        group, arr0, plan.loc1, plan.m1, t_cls[0], "aff", w1_tiles,
+        last=False, interpret=interpret,
+    )
+    c_prev = (plan.lens + 1) >> 1
+    s_prev = jnp.cumsum(c_prev) - c_prev
+    for k in range(2, k_levels + 1):
+        c_k = (c_prev + 1) >> 1
+        s_k = jnp.cumsum(c_k) - c_k
+        loc, m, _span = build_level_map(
+            s_prev, c_prev, s_k, c_k, t_cls[k - 1],
+            t_cls[k - 2] // BLOCK, 3,
+        )
+        lvl = run_tree_level(
+            group, lvl, loc, m, t_cls[k - 1], "full", 3,
+            last=False, interpret=interpret,
+        )
+        c_prev, s_prev = c_k, s_k
+    arr, outb, flags = gather_packed_slabs(lvl, plan.layout, s_slabs)
+    nb_total = num_buckets // lanes
+    return accumulate_packed_streamed(
+        group, arr, outb, flags, nb_total,
+        interpret=interpret, lanes=lanes,
+    )
 
 
 def permute_tree(group, final, s_fin, lens, order=None):
