@@ -49,7 +49,7 @@ def bench_batch(args, curve, n, chunk_size, engine):
         sys.exit("--batch with --sharded: use engine.compute_msm_batch "
                  "(serial sharded runs); the pipelined bench is "
                  "single-chip")
-    if engine._select_smvp(chunk_size, n) != "stream":
+    if engine._select_smvp(chunk_size, n) not in ("stream", "tree"):
         sys.exit(f"--batch requires the streamed SMVP path "
                  f"(smvp_mode={args.smvp_mode!r}, chunk_size={chunk_size} "
                  f"resolves to {engine._select_smvp(chunk_size, n)!r})")
@@ -131,6 +131,11 @@ def main():
                     help="round-1 protocol: every point is the generator "
                          "(permutation-blind check; default is distinct "
                          "points vs a pinned golden)")
+    ap.add_argument("--zipf", type=int, default=None, metavar="POOL_BITS",
+                    help="duplicate-heavy protocol: scalars drawn "
+                         "zipf(1.2) from a pool of 2^POOL_BITS values "
+                         "over the distinct point set (the reference's "
+                         "preaggregation / load-imbalance regime)")
     ap.add_argument("--smvp-mode", default="auto",
                     choices=["auto", "stream", "fused", "legacy",
                              "stream-interpret", "interpret",
@@ -214,7 +219,17 @@ def main():
 
     # --- inputs
     expected_case = None
-    if args.same_point:
+    if args.zipf is not None:
+        from webgpu_msm_bls12_377_tpu.harness import testdata
+
+        power = int(np.log2(n))
+        assert (1 << power) == n, "--n must be a power of two with --zipf"
+        case = testdata.make_zipf_case(curve, power, pool_bits=args.zipf)
+        point_words, scalar_words = case.point_words, case.scalar_words
+        expected_case = case.expected
+        print(f"# zipf case 2^{power}: pool=2^{args.zipf} alpha=1.2",
+              flush=True)
+    elif args.same_point:
         # round-1 protocol: fixed generator point, random scalars
         if curve == CurveId.BLS12_377:
             gx, gy = crv.g1_to_affine(crv.G1_GENERATOR)

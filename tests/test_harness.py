@@ -78,3 +78,31 @@ def test_naive_engine_matches_oracle(rng):
     got = crv.ProjectivePoint(*vals)
     want = naive_msm(pts, ks, G1)
     assert crv.g1_eq(got, want)
+
+
+def test_zipf_case_matches_oracle(tmp_path):
+    """Duplicate-heavy (zipf-pool) bench case: expected result via the
+    known-k identity must equal the naive oracle MSM (reference
+    analogue: the preaggregation cluster regime,
+    miscellaneous/wgsl/preaggregation_stage_1/2)."""
+    from webgpu_msm_bls12_377_tpu.reference.msm import G1, naive_msm
+
+    case = testdata.make_zipf_case(
+        CurveId.BLS12_377, 6, pool_bits=3, cache_dir=str(tmp_path)
+    )
+    n = case.point_words.shape[-1]
+
+    def col_int(w, j):
+        return sum(int(w[i, j]) << (32 * i) for i in range(w.shape[0]))
+
+    pts = [
+        crv.g1_from_affine(
+            col_int(case.point_words[0], j), col_int(case.point_words[1], j)
+        )
+        for j in range(n)
+    ]
+    scalars = [col_int(case.scalar_words, j) for j in range(n)]
+    # the pool really does collide: far fewer distinct scalars than n
+    assert len(set(scalars)) <= 1 << 3
+    want = crv.g1_to_affine(naive_msm(pts, scalars, G1))
+    assert want == case.expected

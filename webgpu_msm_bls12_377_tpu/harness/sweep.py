@@ -197,6 +197,14 @@ def main():
                     help="pin the jax platform (cpu = the 8-virtual-"
                          "device mesh; env vars alone are ignored on "
                          "this machine's sitecustomize)")
+    ap.add_argument("--smvp-mode", default="auto",
+                    choices=["auto", "stream", "tree", "fused", "legacy"],
+                    help="SMVP stage implementation (A/B sweeps)")
+    ap.add_argument("--tree-finish", type=int, default=None, metavar="K",
+                    help="tree mode: K pairwise levels then the packed "
+                         "stream finish")
+    ap.add_argument("--chunk-size", type=int, default=None,
+                    help="window size override (default: size policy)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -225,7 +233,10 @@ def main():
         print(markdown_table(rows))
         return
 
-    engine = CuzkMsmEngine(curve)
+    engine = CuzkMsmEngine(
+        curve, chunk_size=args.chunk_size, smvp_mode=args.smvp_mode,
+        tree_finish=args.tree_finish,
+    )
     rows = []
     for power in args.powers:
         row = run_power(engine, curve, power, args.runs,

@@ -280,6 +280,79 @@ def make_bench_case(
     )
 
 
+def make_zipf_case(
+    curve: CurveId,
+    power: int,
+    pool_bits: int = 8,
+    alpha: float = 1.2,
+    seed: str | None = None,
+    cache_dir: str = DATA_DIR,
+) -> BenchCase:
+    """Duplicate-heavy bench case: zipf-distributed scalars from a small
+    pool over the standard distinct-point set.
+
+    With 2^pool_bits distinct scalar values, every window digit takes at
+    most 2^pool_bits values, so buckets hold long runs of entries sharing
+    the same digit — the cluster structure the reference's preaggregation
+    shaders target (miscellaneous/wgsl/preaggregation_stage_1/2) and the
+    load-imbalance regime its README flags as unhandled (README.md:543-547).
+    The expected result uses the known-k identity, so verification is
+    O(n) host bigint work regardless of skew.
+    """
+    n = 1 << power
+    seed = seed or f"bench-{power}"
+    tag = curve.value
+    order = curve_order(curve)
+
+    # identical point set (and ks) to make_bench_case — reuses its cache
+    rng = random.Random(f"{seed}-{tag}")
+    ks = [rng.randrange(1, order) for _ in range(n)]
+    _ = [rng.randrange(0, 1 << 253) for _ in range(n)]  # keep stream aligned
+
+    npz_path = os.path.join(cache_dir, f"bench-{tag}-{power}-{seed}.npz")
+    if not os.path.exists(npz_path):
+        # materialize the shared point cache via the standard path
+        make_bench_case(curve, power, seed=seed, cache_dir=cache_dir,
+                        cross_check=False)
+    blob = np.load(npz_path)
+    point_words = blob["point_words"]
+
+    zrng = random.Random(f"zipf-{seed}-{tag}-{pool_bits}-{alpha}")
+    pool = [zrng.randrange(0, 1 << 253) for _ in range(1 << pool_bits)]
+    # zipf ranks: P(rank r) ∝ 1/r^alpha over the pool
+    weights = np.array(
+        [1.0 / (r + 1) ** alpha for r in range(len(pool))]
+    )
+    weights /= weights.sum()
+    nprng = np.random.RandomState(
+        abs(hash(f"zipf-{seed}-{tag}")) % (1 << 32)
+    )
+    picks = nprng.choice(len(pool), size=n, p=weights)
+    scalars = [pool[int(i)] for i in picks]
+    scalar_words = np.asarray(ints_to_words(scalars, 8))
+
+    t = 0
+    for s, k in zip(scalars, ks):
+        t += s * k
+    t %= order
+    if curve == CurveId.BLS12_377:
+        expected = ocurve.g1_to_affine(
+            ocurve.g1_scalar_mult(ocurve.G1_GENERATOR, t)
+        )
+    else:
+        expected = ocurve.ed_to_affine(
+            ocurve.ed_scalar_mult(ocurve.ED_GENERATOR, t)
+        )
+    return BenchCase(
+        curve=curve,
+        point_words=point_words,
+        scalar_words=scalar_words,
+        expected=expected,
+        golden_pinned=False,
+        oracle_checked=False,
+    )
+
+
 @dataclasses.dataclass
 class BatchCase:
     """Fixed point set + many scalar sets, each with a pinned expected

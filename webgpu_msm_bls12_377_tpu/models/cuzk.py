@@ -169,13 +169,16 @@ class CuzkMsmEngine:
     ):
         """smvp_mode selects the SMVP stage implementation:
 
-        - "auto": the streamed slab kernel (ops/smvp_stream.py) on TPU
-          when the window shape supports it, else the fused segment-DMA
-          kernel (ops/smvp_kernel.py), else the round-1 masked-round
-          XLA path;
-        - "stream" / "fused" / "legacy": force one path;
-        - "stream-interpret" / "interpret": the stream/fused kernel in
-          the Pallas interpreter (differential tests on CPU).
+        - "auto": at n >= 2^18 on TPU, the hybrid tree (K=2 pairwise
+          levels + packed stream finish, ops/smvp_tree.py — the
+          measured winner, PERF.md round-4 interleaved A/B); else the
+          streamed slab kernel (ops/smvp_stream.py) when the window
+          shape supports it, else the fused segment-DMA kernel, else
+          the round-1 masked-round XLA path;
+        - "stream" / "tree" / "fused" / "legacy": force one path
+          ("tree" with tree_finish=None is the PURE tree);
+        - "stream-interpret" / "tree-interpret" / "interpret": the same
+          kernels in the Pallas interpreter (differential tests on CPU).
         """
         self.curve = curve
         self.group = group_ops(curve)
@@ -400,11 +403,20 @@ class CuzkMsmEngine:
     # size class.  The host sync is the plan's (maxlen, span) int pair —
     # the same discipline as the stream path's slab-count readback.
 
+    def _tree_k(self) -> int | None:
+        """Effective hybrid finish level: an explicit tree_finish wins;
+        auto-selected tree uses the measured-best K=2 (PERF.md round-4
+        interleaved A/B: K=2 beat K=1/K=3/pure at 2^18..2^20); explicit
+        smvp_mode="tree" with no tree_finish stays the pure tree."""
+        if self.tree_finish is not None:
+            return self.tree_finish
+        return 2 if self.smvp_mode == "auto" else None
+
     def _build_tree_plan_fn(self, chunk_size: int):
         ctx = self.ctx
         group = self.group
         num_windows = num_windows_for(chunk_size)
-        k_finish = self.tree_finish
+        k_finish = self._tree_k()
         lanes = self.stream_lanes
 
         def plan_fn(point_words, scalar_words):
@@ -478,9 +490,10 @@ class CuzkMsmEngine:
     def _msm_device_tree(self, point_words, scalar_words, chunk_size: int):
         n = point_words.shape[-1]
         interp = self.smvp_mode == "tree-interpret"
+        tree_k = self._tree_k()
         plan_fn = self._cache_get(
             (
-                self.curve, "tplan", chunk_size, n, self.tree_finish,
+                self.curve, "tplan", chunk_size, n, tree_k,
                 self.stream_lanes,
             ),
             lambda: self._build_tree_plan_fn(chunk_size),
@@ -488,7 +501,7 @@ class CuzkMsmEngine:
         tree_table, sorted_vals, tplan = plan_fn(
             jnp.asarray(point_words), jnp.asarray(scalar_words)
         )
-        if self.tree_finish is not None:
+        if tree_k is not None:
             maxlen, span, total_slabs = (
                 int(v) for v in np.asarray(tplan.stats)
             )
@@ -497,12 +510,12 @@ class CuzkMsmEngine:
             assert s_slabs >= total_slabs, (s_slabs, total_slabs)
             main_fn = self._cache_get(
                 (
-                    self.curve, "hmain", chunk_size, n, self.tree_finish,
+                    self.curve, "hmain", chunk_size, n, tree_k,
                     w1t, s_slabs, self.num_bpr_threads, interp,
                     self.stream_lanes,
                 ),
                 lambda: self._build_hybrid_main_fn(
-                    chunk_size, self.tree_finish, w1t, s_slabs, interp
+                    chunk_size, tree_k, w1t, s_slabs, interp
                 ),
             )
         else:
@@ -653,6 +666,18 @@ class CuzkMsmEngine:
         """Resolve smvp_mode to the concrete path for this size class."""
         mode = self.smvp_mode
         if mode == "auto":
+            # Interleaved TPU A/B (PERF.md round 4, tools/ab_interleaved):
+            # the hybrid tree (K=2 pairwise levels + packed stream
+            # finish) wins at n >= 2^18 (+3.8/+7.6/+11.8% at 2^18/19/20)
+            # by killing the sorted_vals slab permutation; below 2^18 the
+            # tree's extra level launches lose to the stream's smaller
+            # fixed tail (-3% at 2^17, -10% at 2^16).
+            if (
+                n >= (1 << 18)
+                and tree_supported(False)
+                and stream_supported(chunk_size, False, self.stream_lanes)
+            ):
+                return "tree"
             if stream_supported(chunk_size, False, self.stream_lanes):
                 return "stream"
             if self._fused_ok(chunk_size, n):
@@ -931,7 +956,11 @@ class CuzkMsmEngine:
         point_words = self._prepare_points(points)
         n = point_words.shape[-1]
         chunk_size = self._chunk_for(n)
-        if self._select_smvp(chunk_size, n) == "stream":
+        # auto-resolved "tree" implies the stream path is supported (see
+        # _select_smvp); the batch schedule is stream-specific (split
+        # pprep/splan programs), and pipelined stream beats serial tree
+        # for sets of MSMs.  A tree-native batch split is future work.
+        if self._select_smvp(chunk_size, n) in ("stream", "tree"):
             sws = []
             for scalars in scalars_batch:
                 sw = self._prepare_scalars(scalars)

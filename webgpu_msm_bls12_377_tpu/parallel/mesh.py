@@ -429,7 +429,10 @@ class ShardedMsmEngine(CuzkMsmEngine):
             scalar_words = np.concatenate(
                 [scalar_words, np.zeros((8, pad), np.uint32)], axis=-1
             )
-        if self._select_smvp(chunk_size, n) in ("stream",):
+        # auto-resolved "tree" implies stream support (_select_smvp); the
+        # sharded pipeline has no tree path yet, so it rides the sharded
+        # stream (the window-sharded BPR consumes stream bucket blocks)
+        if self._select_smvp(chunk_size, n) in ("stream", "tree"):
             return self._msm_device_sharded_stream(
                 point_words, scalar_words, chunk_size
             )
