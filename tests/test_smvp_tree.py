@@ -257,3 +257,53 @@ def test_tree_engine_duplicate_heavy(case):
     got = eng.compute_msm(aff, scalars)
     want = crv.g1_to_affine(naive_msm(pts, scalars, G1))
     assert (got["x"], got["y"]) == want
+
+
+def test_level_map_wide_window_not_clipped():
+    """Round-4 wrong-result regression: when bucket-boundary offset
+    jumps push a block's child window past 3 tiles (768 slots), the
+    plan must NOT clip the window-local child index at the 3-tile
+    bound — the kernel sizes its tile window from the span readback
+    (w1_tiles_for), so the plan's clip cap must be MAX_W1_TILES.
+
+    At BLS12-377 chunk-15 n=2^20 the real data produced span 551 ->
+    4 tiles with 5 slots above the old 766 clip; this synthesizes the
+    same geometry small: one big inter-bucket start jump (a skipped
+    sorted tail) inside a block."""
+    B = 512
+    lens = np.full(B, 2, np.int64)
+    starts = np.cumsum(lens) - lens
+    # bucket 300: its segment starts 900 slots later (skipped tail)
+    starts[300:] += 900
+    kn = int(starts[-1] + lens[-1])
+    c1 = (lens + 1) >> 1
+    s1 = np.cumsum(c1) - c1
+    t1_cls = st.level_classes(kn, B, 1)[0]
+    t0_tiles = st.level0_class(kn) // st.BLOCK
+    loc, m, span = jax.jit(
+        lambda s, l, sk, ck: st.build_level_map(
+            s, l, sk, ck, t1_cls, t0_tiles, 3
+        )
+    )(
+        jnp.asarray(starts, jnp.int32),
+        jnp.asarray(lens, jnp.int32),
+        jnp.asarray(s1, jnp.int32),
+        jnp.asarray(c1, jnp.int32),
+    )
+    loc, m, span = np.asarray(loc), np.asarray(m), int(np.asarray(span))
+    w1t = st.w1_tiles_for(span)
+    assert w1t > 3, "synthesized case must need a wide window"
+    t1 = int(s1[-1] + c1[-1])
+    # every valid slot's reconstructed absolute childA must be exact
+    # (the old clip broke exactly this) and fit the chosen window
+    for p in range(t1):
+        slot = loc[p]
+        assert slot != st.FLAG_INVALID
+        base = slot & st.LOC_MASK
+        absa = int(m[p // st.BLOCK]) * st.BLOCK + base
+        b = np.searchsorted(s1, p, side="right") - 1
+        want_a = int(starts[b] + 2 * (p - s1[b]))
+        assert absa == want_a, (p, absa, want_a)
+        single = bool(slot & st.FLAG_SINGLE)
+        need = base + (1 if single else 2)
+        assert need <= w1t * st.BLOCK, (p, need, w1t)

@@ -56,6 +56,7 @@ from ..ops.smvp_stream import (
     stream_supported,
 )
 from ..ops.smvp_tree import (
+    MAX_W1_TILES,
     build_hybrid_plan,
     build_tree_plan,
     build_tree_table,
@@ -506,6 +507,12 @@ class CuzkMsmEngine:
                 int(v) for v in np.asarray(tplan.stats)
             )
             w1t = w1_tiles_for(span)
+            assert w1t <= MAX_W1_TILES, (
+                f"level-1 window needs {w1t} tiles > MAX_W1_TILES="
+                f"{MAX_W1_TILES}: the plan clipped child indices at the "
+                f"cap, results would be wrong (pathological bucket-"
+                f"boundary clustering; use smvp_mode='stream')"
+            )
             s_slabs = slab_class(total_slabs, n)
             assert s_slabs >= total_slabs, (s_slabs, total_slabs)
             main_fn = self._cache_get(
@@ -522,6 +529,10 @@ class CuzkMsmEngine:
             maxlen, span = (int(v) for v in np.asarray(tplan.stats))
             levels = num_levels(maxlen)
             w1t = w1_tiles_for(span)
+            assert w1t <= MAX_W1_TILES, (
+                f"level-1 window needs {w1t} tiles > MAX_W1_TILES="
+                f"{MAX_W1_TILES} (see hybrid branch)"
+            )
             main_fn = self._cache_get(
                 (
                     self.curve, "tmain", chunk_size, n, levels, w1t,

@@ -95,12 +95,19 @@ def level_classes(kn: int, num_buckets: int, levels: int) -> list[int]:
     """Static packed sizes for levels 1..levels.
 
     T_k <= (T_{k-1} + #nonempty buckets)/2; the class keeps one strict
-    slot of slack (so child reads never touch the class boundary) and a
-    768 floor (so 3-tile windows exist)."""
+    slot of slack (so child reads never touch the class boundary), a
+    768 floor (so 3-tile windows exist), and 3 tiles of tail padding so
+    the next level's m clamp (build_level_map: m <= prev_tiles - 3)
+    never clips a real block's window start — without the pad, real
+    children reaching into the last 2 tiles of a tight class would
+    shift base past the 3-tile window (the same failure mode as the
+    round-4 level-1 wrong-result bug, one padding decision away)."""
     out = []
     prev = max(_round_up(kn + 1, BLOCK), 768)
     for _ in range(levels):
-        prev = max(768, _round_up((prev + num_buckets) // 2 + 1, BLOCK))
+        prev = max(
+            768, _round_up((prev + num_buckets) // 2 + 1, BLOCK) + 3 * BLOCK
+        )
         out.append(prev)
     return out
 
@@ -111,9 +118,23 @@ def num_levels(max_len: int) -> int:
     return max(1, int(np.ceil(np.log2(max(int(max_len), 2)))))
 
 
+#: hard cap on the level-1 window tile class: the plan clips each slot's
+#: window-local child index to BLOCK*MAX_W1_TILES - 2 (it cannot know the
+#: final tile class — that IS the readback), so a span needing more tiles
+#: than this would silently corrupt reads; the engine asserts against it.
+#: 8 tiles cover base+2 <= 2048 (observed level-1 need at 2^20: 778).
+MAX_W1_TILES = 8
+
+
 def w1_tiles_for(span1: int) -> int:
-    """Level-1 window tile class from the plan's block-span readback."""
-    return max(3, -(-(255 + int(span1)) // BLOCK))
+    """Level-1 window tile class from the plan's need readback.
+
+    span1 is max(valid window-local child index) + 2 — measured directly
+    on the plan's clipped-m base values, so it accounts for both the
+    bucket-boundary offset jumps AND the end-of-array m clamp (the
+    round-4 wrong-result bug: the old in-block child-span formula said 4
+    tiles while the plan had clipped base at the 3-tile bound)."""
+    return max(3, -(-int(span1) // BLOCK))
 
 
 def tree_supported(interpret: bool) -> bool:
@@ -170,9 +191,14 @@ def build_level_map(
 
     Returns (loc, m, span): loc (t_cls,) packs the window-local childA
     index with FLAG_SINGLE/FLAG_INVALID; m (t_cls/BLOCK,) is the input
-    window's first tile per output block; span is the max in-block child
-    span + 2 (the level-1 window-class readback; <= 512 whenever off is
-    non-increasing, i.e. every level but 1).
+    window's first tile per output block; span is max(valid base) + 2 —
+    the exact per-slot window REQUIREMENT (childB = base+1 exclusive),
+    including both bucket-boundary offset jumps and the end-of-array m
+    clamp.  The caller sizes the kernel's tile window from this readback
+    (level 1) or relies on the invariant base + 2 <= BLOCK * wtiles
+    (levels >= 2: off is non-increasing so in-block child spread <= 510,
+    and level_classes pads every class by 3 tiles so the m clamp never
+    fires — base[0] <= 255, base + 2 <= 767 < 768).
     """
     t_k = s_k[-1] + c_k[-1]  # real node count (dynamic)
     off = s_prev - 2 * s_k  # (B,) constant per bucket
@@ -187,13 +213,16 @@ def build_level_map(
     m = jnp.clip(cb[:, 0] >> 8, 0, prev_tiles - wtiles)
     base = cb - (m << 8)[:, None]
     valid = (iota < t_k).reshape(-1, BLOCK)
-    span = jnp.max(jnp.where(valid, cb - cb[:, :1], 0)) + 2
+    # the clip bound must NOT depend on the final tile class (unknown
+    # here — the span readback below picks it): clip at the hard cap and
+    # report the true requirement so w1_tiles_for sizes the window
+    base = jnp.clip(base, 0, BLOCK * MAX_W1_TILES - 2)
+    span = jnp.max(jnp.where(valid, base, 0)) + 2
     singles = (
         jnp.zeros((t_cls,), jnp.int32)
         .at[jnp.where((c_prev & 1) == 1, s_k + c_k - 1, t_cls)]
         .add(FLAG_SINGLE, mode="drop")
     )
-    base = jnp.clip(base, 0, BLOCK * wtiles - 2)
     loc = jnp.where(
         valid.reshape(-1), base.reshape(-1) + singles, FLAG_INVALID
     )
