@@ -134,9 +134,9 @@ def test_tree_matches_legacy_buckets(device_inputs):
     )(table, plan)
 
     kn = int(plan.sorted_vals.shape[0])
-    tplan = jax.jit(lambda s, l: st.build_tree_plan(s, l, kn))(
-        plan.starts, plan.lens
-    )
+    tplan = jax.jit(
+        lambda s, l: st.build_tree_plan(s, l, kn, NUM_WINDOWS)
+    )(plan.starts, plan.lens)
     maxlen, span = (int(v) for v in np.asarray(tplan.stats))
     levels = st.num_levels(maxlen)
     w1t = st.w1_tiles_for(span)
@@ -144,7 +144,13 @@ def test_tree_matches_legacy_buckets(device_inputs):
     final, s_fin = st.tree_smvp(
         ops, ttable, plan.sorted_vals, tplan, levels, w1t, interpret=True
     )
-    got = st.permute_tree(ops, final, s_fin, tplan.lens)
+    # plan.lens / s_fin are phantom-extended (one tail bucket per window)
+    got = st.permute_tree(
+        ops,
+        final,
+        st.real_bucket_view(s_fin, NUM_WINDOWS),
+        st.real_bucket_view(tplan.lens, NUM_WINDOWS),
+    )
     # The tree adds in a different (balanced) order, so projective
     # REPRESENTATIVES differ from the sequential legacy walk; compare as
     # group elements via the oracle's projective equality.

@@ -47,6 +47,7 @@ from ..ops.smvp_kernel import (
 )
 from ..ops import smvp_stream
 from ..ops.smvp_stream import (
+    SLAB_SMEM_CAP,
     accumulate_buckets_streamed,
     build_signed_table,
     build_stream_layout,
@@ -62,6 +63,7 @@ from ..ops.smvp_tree import (
     build_tree_table,
     num_levels,
     permute_tree,
+    real_bucket_view,
     tree_smvp,
     tree_smvp_hybrid,
     tree_supported,
@@ -84,6 +86,13 @@ from ..utils import exec_cache
 
 SCALAR_BITS = 256  # 8 LE u32 words per scalar, reference wire format
 SCALAR_EFF_BITS = 253  # canonical wire scalars are < 2^253 (validated)
+
+
+class SlabOverflowError(RuntimeError):
+    """The input's bucket-length distribution needs more stream slabs
+    than one kernel's SMEM prefetch maps can hold (SLAB_SMEM_CAP) —
+    duplicate-heavy scalars concentrate entries in few buckets.  The
+    engine falls back to the pure tree where the backend supports it."""
 
 
 def num_windows_for(chunk_size: int) -> int:
@@ -433,7 +442,9 @@ class CuzkMsmEngine:
                     lanes,
                 )
             else:
-                tplan = build_tree_plan(plan.starts, plan.lens, kn)
+                tplan = build_tree_plan(
+                    plan.starts, plan.lens, kn, num_windows
+                )
             return build_tree_table(group, table), plan.sorted_vals, tplan
 
         return plan_fn
@@ -452,8 +463,14 @@ class CuzkMsmEngine:
                 group, tree_table, sorted_vals, tplan, levels, w1t,
                 interpret=interpret,
             )
+            # plan.lens / s_fin are phantom-extended; the permute and
+            # BPR consume real buckets only
             buckets = permute_tree(
-                group, final, s_fin, tplan.lens, order=order
+                group,
+                final,
+                real_bucket_view(s_fin, num_windows),
+                real_bucket_view(tplan.lens, num_windows),
+                order=order,
             )
             wsums = reduce_buckets_prearranged(
                 group, buckets, num_windows, chunk_size, bpr_threads
@@ -515,6 +532,13 @@ class CuzkMsmEngine:
             )
             s_slabs = slab_class(total_slabs, n)
             assert s_slabs >= total_slabs, (s_slabs, total_slabs)
+            if s_slabs > SLAB_SMEM_CAP:
+                # duplicate-heavy distribution: the packed finish would
+                # need more slab-map SMEM than exists; run the PURE tree
+                # on the same plan (HybridPlan carries loc1/m1/lens) —
+                # log-depth in the monster bucket, no slab maps
+                tree_k = None
+        if tree_k is not None:
             main_fn = self._cache_get(
                 (
                     self.curve, "hmain", chunk_size, n, tree_k,
@@ -526,7 +550,9 @@ class CuzkMsmEngine:
                 ),
             )
         else:
-            maxlen, span = (int(v) for v in np.asarray(tplan.stats))
+            # stats[:2] = [maxlen, span] for both plan flavors (the
+            # hybrid's third entry, total_slabs, is irrelevant here)
+            maxlen, span = (int(v) for v in np.asarray(tplan.stats)[:2])
             levels = num_levels(maxlen)
             w1t = w1_tiles_for(span)
             assert w1t <= MAX_W1_TILES, (
@@ -650,6 +676,12 @@ class CuzkMsmEngine:
         # contract: a short class would silently truncate the slab stream
         # AND skip the last-slab canons (ops/smvp_stream.py:gather_slabs)
         assert s_slabs >= total, (s_slabs, total)
+        if s_slabs > SLAB_SMEM_CAP:
+            raise SlabOverflowError(
+                f"stream SMVP needs {s_slabs} slabs > SLAB_SMEM_CAP="
+                f"{SLAB_SMEM_CAP} (duplicate-heavy bucket distribution); "
+                f"use the tree SMVP"
+            )
         main_fn = self._cache_get(
             (
                 self.curve, "smain", chunk_size, n, s_slabs,
@@ -917,9 +949,20 @@ class CuzkMsmEngine:
         n = point_words.shape[-1]
         path = self._select_smvp(chunk_size, n)
         if path == "stream":
-            return self._msm_device_stream(
-                point_words, scalar_words, chunk_size
-            )
+            try:
+                return self._msm_device_stream(
+                    point_words, scalar_words, chunk_size
+                )
+            except SlabOverflowError:
+                # duplicate-heavy inputs: the pure tree is log-depth in
+                # the monster bucket and carries no SMEM slab maps
+                if self.smvp_mode != "stream-interpret" and tree_supported(
+                    False
+                ):
+                    return self._msm_device_tree(
+                        point_words, scalar_words, chunk_size
+                    )
+                raise
         if path == "tree":
             return self._msm_device_tree(
                 point_words, scalar_words, chunk_size

@@ -221,6 +221,15 @@ def _slab_schedule(layout: StreamLayout, s_slabs: int):
     return valid, src, outb, flags
 
 
+#: slab ceiling for one stream-kernel invocation: the kernel prefetches
+#: two (s_slabs,) int32 maps (outb, flags) into SMEM (~1 MB total), so
+#: s_slabs beyond ~110K cannot compile ("Allocation would exceed memory
+#: (size=1048576) ... space=smem").  Uniform inputs stay well under it
+#: (2^20: ~72K slabs); duplicate-heavy inputs (zipf scalar pools) blow
+#: past it (measured 1.07M slabs at 2^20 pool-2^8) — the engine falls
+#: back to the pure tree there (log-depth, no slab maps).
+SLAB_SMEM_CAP = 110_000
+
 #: piece bound for _take_rows_T; overridable for tests
 TRANSPOSE_PIECE_BYTES = 512 << 20
 

@@ -229,24 +229,67 @@ def build_level_map(
     return loc, m, span
 
 
+def extend_with_phantom(
+    starts: jnp.ndarray, lens: jnp.ndarray, kn: int, num_windows: int
+):
+    """Append one PHANTOM bucket per window covering the window's
+    skipped sentinel tail (zero digits sort past every real bucket and
+    are excluded from lens).
+
+    Without it, the tail makes `starts` jump at the window boundary
+    while the packed cumsum does not, so the level map's offset
+    off = s_prev - 2*s_k jumps by the tail size — unbounded by any
+    static tile window (duplicate-heavy zipf inputs concentrate zero
+    digits in one window: a 6,827-entry tail at 2^20 pool-2^8 needed a
+    31-tile window and silently corrupted the clipped reads).  With the
+    phantom, every consecutive-bucket delta is lens[b] - 2*ceil(lens[b]/2)
+    in {-1, 0} INCLUDING window boundaries, so off is non-increasing and
+    3 tiles always suffice, for any input distribution.  Phantom nodes
+    pack real (sentinel-entry) points whose sums land in phantom slots
+    that no layout, permute, or later consumer ever references.
+    """
+    num_buckets = lens.shape[0]
+    h = num_buckets // num_windows
+    n_row = kn // num_windows
+    s2 = starts.reshape(num_windows, h)
+    l2 = lens.reshape(num_windows, h)
+    row_end = (
+        (jnp.arange(num_windows, dtype=starts.dtype) + 1) * n_row
+    )
+    tail_start = s2[:, -1] + l2[:, -1]
+    tail_len = row_end - tail_start
+    starts_e = jnp.concatenate([s2, tail_start[:, None]], axis=1).reshape(-1)
+    lens_e = jnp.concatenate([l2, tail_len[:, None]], axis=1).reshape(-1)
+    return starts_e, lens_e
+
+
+def real_bucket_view(arr_e: jnp.ndarray, num_windows: int) -> jnp.ndarray:
+    """(num_windows*(h+1),) extended per-bucket array -> (num_windows*h,)
+    real buckets (drops the per-window phantom slot)."""
+    he = arr_e.shape[0] // num_windows
+    return arr_e.reshape(num_windows, he)[:, : he - 1].reshape(-1)
+
+
 def build_tree_plan(
-    starts: jnp.ndarray, lens: jnp.ndarray, kn: int
+    starts: jnp.ndarray, lens: jnp.ndarray, kn: int, num_windows: int
 ) -> TreePlan:
     """Level-1 maps + the two size-class scalars, from the bucket plan.
 
     Built in the plan program because the [maxlen, span] readback picks
     the main program's static (levels, window) classes; levels >= 2 maps
-    are rebuilt cheaply inside the main program (B-sized cumsums)."""
-    num_buckets = lens.shape[0]
-    c1 = (lens + 1) >> 1
+    are rebuilt cheaply inside the main program (B-sized cumsums).
+    plan.lens is the PHANTOM-EXTENDED per-bucket array (see
+    extend_with_phantom); maxlen in stats covers real buckets only."""
+    starts_e, lens_e = extend_with_phantom(starts, lens, kn, num_windows)
+    c1 = (lens_e + 1) >> 1
     s1 = jnp.cumsum(c1) - c1
-    t1_cls = level_classes(kn, num_buckets, 1)[0]
+    t1_cls = level_classes(kn, lens_e.shape[0], 1)[0]
     t0_tiles = level0_class(kn) // BLOCK
     loc1, m1, span1 = build_level_map(
-        starts, lens, s1, c1, t1_cls, t0_tiles, 3
+        starts_e, lens_e, s1, c1, t1_cls, t0_tiles, 3
     )
     stats = jnp.stack([jnp.max(lens), span1]).astype(jnp.int32)
-    return TreePlan(loc1=loc1, m1=m1, lens=lens, stats=stats)
+    return TreePlan(loc1=loc1, m1=m1, lens=lens_e, stats=stats)
 
 
 # ---------------------------------------------------------------------------
@@ -509,22 +552,31 @@ def build_hybrid_plan(
     num_windows: int,
     lanes: int,
 ) -> HybridPlan:
-    """Level-1 maps + the finish-stage stream layout + 3 class scalars."""
-    num_buckets = lens.shape[0]
-    c1 = (lens + 1) >> 1
+    """Level-1 maps + the finish-stage stream layout + 3 class scalars.
+
+    plan.lens is phantom-extended (extend_with_phantom); the finish
+    layout covers REAL buckets only — phantom packed slots are never
+    gathered by the stream finish."""
+    starts_e, lens_e = extend_with_phantom(starts, lens, kn, num_windows)
+    c1 = (lens_e + 1) >> 1
     s1 = jnp.cumsum(c1) - c1
-    t1_cls = level_classes(kn, num_buckets, 1)[0]
+    t1_cls = level_classes(kn, lens_e.shape[0], 1)[0]
     t0_tiles = level0_class(kn) // BLOCK
     loc1, m1, span1 = build_level_map(
-        starts, lens, s1, c1, t1_cls, t0_tiles, 3
+        starts_e, lens_e, s1, c1, t1_cls, t0_tiles, 3
     )
-    c_k, s_k = chain_counts(lens, k_levels)
-    layout = build_stream_layout(s_k, c_k, num_windows, lanes)
+    c_k, s_k = chain_counts(lens_e, k_levels)
+    layout = build_stream_layout(
+        real_bucket_view(s_k, num_windows),
+        real_bucket_view(c_k, num_windows),
+        num_windows,
+        lanes,
+    )
     stats = jnp.stack(
         [jnp.max(lens), span1, layout.total_slabs]
     ).astype(jnp.int32)
     return HybridPlan(
-        loc1=loc1, m1=m1, lens=lens, layout=layout, stats=stats
+        loc1=loc1, m1=m1, lens=lens_e, layout=layout, stats=stats
     )
 
 
@@ -568,7 +620,9 @@ def tree_smvp_hybrid(
         )
         c_prev, s_prev = c_k, s_k
     arr, outb, flags = gather_packed_slabs(lvl, plan.layout, s_slabs)
-    nb_total = num_buckets // lanes
+    # bucket blocks in the finish = REAL buckets / lanes (plan.lens and
+    # the packed planes are phantom-extended; the layout is real-only)
+    nb_total = plan.layout.starts_rk.shape[0]
     return accumulate_packed_streamed(
         group, arr, outb, flags, nb_total,
         interpret=interpret, lanes=lanes,
