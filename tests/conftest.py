@@ -44,6 +44,14 @@ if not _USE_TPU:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+    # zstandard's C backend segfaulted twice inside jax's cache
+    # write/read during full-suite runs (flaky, entry-dependent);
+    # forcing the zlib fallback trades a little compression speed for
+    # not killing the interpreter mid-suite.
+    from jax._src import compilation_cache as _cc
+
+    _cc.zstandard = None
+
 import random
 
 import pytest

@@ -320,7 +320,24 @@ def gather_packed_slabs(
     return arr, outb, flags
 
 
+#: body + pallas_call wrapper caches (see pallas_kernels._RUN_CACHE):
+#: reusing one wrapper per configuration skips multi-second kernel
+#: re-tracing on every size-class build.  ctx excluded from keys
+#: (unhashable, per-class unique; constants ride in as inputs).
+_BODY_CACHE: dict = {}
+_CALL_CACHE: dict = {}
+
+
 def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w, lanes=None):
+    key = ("stream", group_cls, n_coords, n_aff, w, lanes)
+    fn = _BODY_CACHE.get(key)
+    if fn is None:
+        fn = _stream_kernel_body_build(group_cls, ctx, n_coords, n_aff, w, lanes)
+        _BODY_CACHE[key] = fn
+    return fn
+
+
+def _stream_kernel_body_build(group_cls, ctx, n_coords, n_aff, w, lanes=None):
     lanes = LANES if lanes is None else lanes
     n_consts = n_const_arrays(group_cls)
     # paired-product reduction (field.py:mont_mul_pair) where the group
@@ -389,6 +406,15 @@ def _stream_kernel_body(group_cls, ctx, n_coords, n_aff, w, lanes=None):
 
 
 def _packed_kernel_body(group_cls, ctx, n_coords, w, cwp2, lanes=None):
+    key = ("packed", group_cls, n_coords, w, cwp2, lanes)
+    fn = _BODY_CACHE.get(key)
+    if fn is None:
+        fn = _packed_kernel_body_build(group_cls, ctx, n_coords, w, cwp2, lanes)
+        _BODY_CACHE[key] = fn
+    return fn
+
+
+def _packed_kernel_body_build(group_cls, ctx, n_coords, w, cwp2, lanes=None):
     """Stream-kernel body over packed PROJECTIVE slabs (tree-hybrid
     finish): the addend is a lazy-domain point (add_lazy, closed under
     the 4p bound), not a signed-table affine row.  Flag semantics are
@@ -486,15 +512,24 @@ def accumulate_packed_streamed(
             (n_coords * w, lanes), lambda i, outb, flags: (0, outb[i])
         ),
     )
-    kernel = _packed_kernel_body(type(group), ctx, n_coords, w, cwp2, lanes)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_coords * w, nb_total * lanes), jnp.uint32
-        ),
-        interpret=interpret,
-    )(
+    call_key = (
+        "packed", type(group), s_slabs, nb_total, lanes, cwp2, interpret
+    )
+    wrapped = _CALL_CACHE.get(call_key)
+    if wrapped is None:
+        kernel = _packed_kernel_body(
+            type(group), ctx, n_coords, w, cwp2, lanes
+        )
+        wrapped = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_coords * w, nb_total * lanes), jnp.uint32
+            ),
+            interpret=interpret,
+        )
+        _CALL_CACHE[call_key] = wrapped
+    return wrapped(
         outb,
         flags,
         *[jnp.asarray(c) for c in consts],
@@ -544,15 +579,24 @@ def accumulate_buckets_streamed(
             (n_coords * w, lanes), lambda i, outb, flags: (0, outb[i])
         ),
     )
-    kernel = _stream_kernel_body(type(group), ctx, n_coords, n_aff, w, lanes)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_coords * w, nb_total * lanes), jnp.uint32
-        ),
-        interpret=interpret,
-    )(
+    call_key = (
+        "stream", type(group), s_slabs, nb_total, lanes, interpret
+    )
+    wrapped = _CALL_CACHE.get(call_key)
+    if wrapped is None:
+        kernel = _stream_kernel_body(
+            type(group), ctx, n_coords, n_aff, w, lanes
+        )
+        wrapped = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_coords * w, nb_total * lanes), jnp.uint32
+            ),
+            interpret=interpret,
+        )
+        _CALL_CACHE[call_key] = wrapped
+    out = wrapped(
         outb,
         flags,
         *[jnp.asarray(c) for c in consts],

@@ -44,6 +44,7 @@ ops/buckets.py).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import NamedTuple
 
@@ -321,7 +322,29 @@ def window_gather(W, idx):
     return jnp.concatenate(halves, axis=1)
 
 
+#: kernel bodies and pallas_call wrappers cached by configuration (ctx
+#: excluded: it is unhashable and per-class unique — constants ride in
+#: as inputs).  Reusing one wrapper object across levels/classes lets
+#: pallas skip re-tracing the multi-second 30-limb kernel body
+#: (see pallas_kernels._RUN_CACHE for the measurement).
+_BODY_CACHE: dict = {}
+_LEVEL_CALL_CACHE: dict = {}
+
+
 def _tree_kernel_body(group_cls, ctx, mode, wtiles, last, w, n_coords, n_aff):
+    key = (group_cls, mode, wtiles, last, w, n_coords, n_aff)
+    fn = _BODY_CACHE.get(key)
+    if fn is None:
+        fn = _tree_kernel_body_build(
+            group_cls, ctx, mode, wtiles, last, w, n_coords, n_aff
+        )
+        _BODY_CACHE[key] = fn
+    return fn
+
+
+def _tree_kernel_body_build(
+    group_cls, ctx, mode, wtiles, last, w, n_coords, n_aff
+):
     """One tree level as a Pallas kernel.
 
     mode "aff": inputs are signed-table affine rows (level 1) — add is
@@ -406,37 +429,49 @@ def run_tree_level(
     consts = _const_arrays(group)
     rows_in = arr_in.shape[0]
 
-    def tile_spec(k):
-        return pl.BlockSpec((rows_in, BLOCK), lambda i, m, _k=k: (0, m[i] + _k))
+    call_key = (
+        type(group), mode, wtiles, last, rows_in, t_cls, interpret
+    )
+    wrapped = _LEVEL_CALL_CACHE.get(call_key)
+    if wrapped is None:
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(t_cls // BLOCK,),
-        in_specs=[
-            *[
-                pl.BlockSpec(
-                    (c.shape[0], 1),
-                    lambda i, m: (0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-                for c in consts
+        def tile_spec(k):
+            return pl.BlockSpec(
+                (rows_in, BLOCK), lambda i, m, _k=k: (0, m[i] + _k)
+            )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(t_cls // BLOCK,),
+            in_specs=[
+                *[
+                    pl.BlockSpec(
+                        (c.shape[0], 1),
+                        lambda i, m: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                    for c in consts
+                ],
+                pl.BlockSpec((1, BLOCK), lambda i, m: (0, i)),
+                *[tile_spec(k) for k in range(wtiles)],
             ],
-            pl.BlockSpec((1, BLOCK), lambda i, m: (0, i)),
-            *[tile_spec(k) for k in range(wtiles)],
-        ],
-        out_specs=pl.BlockSpec(
-            (n_coords * w, BLOCK), lambda i, m: (0, i)
-        ),
-    )
-    kernel = _tree_kernel_body(
-        type(group), ctx, mode, wtiles, last, w, n_coords, n_aff
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_coords * w, t_cls), jnp.uint32),
-        interpret=interpret,
-    )(
+            out_specs=pl.BlockSpec(
+                (n_coords * w, BLOCK), lambda i, m: (0, i)
+            ),
+        )
+        kernel = _tree_kernel_body(
+            type(group), ctx, mode, wtiles, last, w, n_coords, n_aff
+        )
+        wrapped = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_coords * w, t_cls), jnp.uint32
+            ),
+            interpret=interpret,
+        )
+        _LEVEL_CALL_CACHE[call_key] = wrapped
+    return wrapped(
         m,
         *[jnp.asarray(c) for c in consts],
         loc.reshape(1, -1),

@@ -123,6 +123,47 @@ class _CachedProgram:
                     self._fn = fn
         return fn(*args)
 
+    def prewarm_async(self, abstract_args) -> threading.Thread:
+        """AOT-compile in a daemon thread at ABSTRACT shapes.
+
+        abstract_args: a tuple of ShapeDtypeStructs, or a zero-arg
+        callable producing one (evaluated in the worker so e.g. an
+        eval_shape of the plan program stays off the caller's path).
+
+        Used by the engine's layout-hint cold path (utils/layout_hints):
+        the main program compiles concurrently with the plan program's
+        compile+run.  Skips when already resolved or a disk blob exists
+        (deserialize at real-call time is ~2 s — not worth a thread).
+        A real call arriving mid-compile blocks on _resolve_lock and
+        then uses the finished executable; compile failure leaves the
+        program unresolved so the normal call-time path handles it.
+        """
+
+        def work():
+            with self._resolve_lock:
+                if self._fn is not None:
+                    return
+                path = cache_dir() / f"{_disk_key(self._key)}.jexec"
+                if path.exists():
+                    return
+                try:
+                    aargs = (
+                        abstract_args()
+                        if callable(abstract_args)
+                        else abstract_args
+                    )
+                    compiled = (
+                        jax.jit(self._build()).lower(*aargs).compile()
+                    )
+                except Exception:
+                    return
+                self._persist(compiled, path)
+                self._fn = compiled
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        return t
+
     # -- resolution ----------------------------------------------------
 
     def _resolve(self, args: tuple) -> Callable:
@@ -147,6 +188,13 @@ class _CachedProgram:
             compiled = jax.jit(self._build()).lower(*args).compile()
         except Exception:
             return jax.jit(self._build())  # AOT unsupported: plain jit
+        self._persist(compiled, path)
+        return compiled
+
+    @staticmethod
+    def _persist(compiled, path) -> None:
+        from jax.experimental import serialize_executable as se
+
         try:
             blob, in_tree, out_tree = se.serialize(compiled)
             path.parent.mkdir(parents=True, exist_ok=True)
@@ -157,7 +205,6 @@ class _CachedProgram:
             os.replace(tmp, path)
         except Exception:
             pass  # serialization unsupported: still use the compiled fn
-        return compiled
 
 
 def wrap(logical_key: tuple, build: Callable[[], Callable]) -> Callable:
