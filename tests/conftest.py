@@ -34,23 +34,12 @@ import jax
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
 
-    # Persistent compilation cache: the suite's cost is dominated by XLA CPU
-    # compiles of the same pipeline programs in every pytest process; caching
-    # them on disk makes re-runs start fast (VERDICT round-1 weak #8).
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(_REPO_ROOT, ".jax_cache_cpu"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
-    # zstandard's C backend segfaulted twice inside jax's cache
-    # write/read during full-suite runs (flaky, entry-dependent);
-    # forcing the zlib fallback trades a little compression speed for
-    # not killing the interpreter mid-suite.
-    from jax._src import compilation_cache as _cc
-
-    _cc.zstandard = None
+    # NO persistent compilation cache on CPU in this environment: the
+    # cache's native executable.serialize()/deserialize segfaults the
+    # interpreter (observed 3x mid-suite, both read and write paths —
+    # this machine's compile service targets CPU features the host
+    # lacks; XLA:CPU AOT reloads warn "+prefer-no-scatter ... could
+    # lead to SIGILL").  Re-run latency is the price of not dying.
 
 import random
 
