@@ -157,6 +157,11 @@ def main():
                     help="shard over all local devices via the mesh engine")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one warm run")
+    ap.add_argument("--debug", action="store_true",
+                    help="full-scale per-stage differential check before "
+                         "timing (the reference's debug=true readbacks, "
+                         "submission.ts:464-798): stage outputs at the "
+                         "real n vs independent numpy/bigint models")
     ap.add_argument("--prewarm", action="store_true",
                     help="compile the size class in a background thread "
                          "while inputs stage (serving mode); reports the "
@@ -295,6 +300,12 @@ def main():
         prewarm_extra_s = max(
             0.0, (time.perf_counter() - t_pw) - transfer_s
         )
+
+    if args.debug:
+        t0 = time.perf_counter()
+        checks = engine.debug_check(point_words, scalar_words, chunk_size)
+        print(f"# debug stage checks ({time.perf_counter()-t0:.1f}s): "
+              f"{checks}", flush=True)
 
     def once():
         t0 = time.perf_counter()

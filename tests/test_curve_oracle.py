@@ -2,6 +2,8 @@
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from webgpu_msm_bls12_377_tpu.params import (
     BLS12_377_BASE_FIELD as P,
     EDWARDS_SUBGROUP_CHARACTERISTIC,

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from webgpu_msm_bls12_377_tpu.ops import field as dfield
 from webgpu_msm_bls12_377_tpu.params import CurveId, mont_params_for
 from webgpu_msm_bls12_377_tpu.reference.limbs import (

@@ -9,6 +9,8 @@ inputs >= p break the algorithm (mont_mul.test.ts:66-109).
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from webgpu_msm_bls12_377_tpu.params import (
     BLS12_377_BASE_FIELD,
     EDWARDS_BLS12_BASE_FIELD,

@@ -4,6 +4,8 @@ and cross-checks between naive / Pippenger / cuZK models on both curves."""
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from webgpu_msm_bls12_377_tpu.reference import curve as crv
 from webgpu_msm_bls12_377_tpu.reference.limbs import (
     decompose_scalars_signed,

@@ -1,6 +1,10 @@
 """Parameter-derivation tests, mirroring the constant checks implicit in
 src/submission/implementation/cuzk/utils.ts:452-533 and README.md:386-396."""
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 from webgpu_msm_bls12_377_tpu.params import (
     BLS12_377_BASE_FIELD,
     BLS12_377_PARAMS,

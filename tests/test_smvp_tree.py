@@ -123,6 +123,13 @@ def test_level_maps_match_numpy(device_inputs):
         prev_cls = t_cls
 
 
+@pytest.mark.slow  # giant interpret-mode XLA:CPU compiles: beyond ~200
+# compiles/process this environment's XLA:CPU backend_compile_and_load
+# intermittently SEGFAULTS (3 full-suite crashes observed, always in
+# this file's heavy tests; each passes in isolation).  The light tier
+# below (level maps vs numpy, wide-window regression) keeps tree
+# coverage in the default run; these e2e paths also run compiled in the
+# TPU tier (tests/test_tpu_kernels.py) and every TPU bench run.
 def test_tree_matches_legacy_buckets(device_inputs):
     """Tree kernels (interpret) == legacy masked-round path, bit-exact."""
     ops, table, plan = _plan(device_inputs)
@@ -170,6 +177,13 @@ def test_tree_matches_legacy_buckets(device_inputs):
         assert crv.g1_eq(pt(ga, j), pt(la, j)), j
 
 
+@pytest.mark.slow  # giant interpret-mode XLA:CPU compiles: beyond ~200
+# compiles/process this environment's XLA:CPU backend_compile_and_load
+# intermittently SEGFAULTS (3 full-suite crashes observed, always in
+# this file's heavy tests; each passes in isolation).  The light tier
+# below (level maps vs numpy, wide-window regression) keeps tree
+# coverage in the default run; these e2e paths also run compiled in the
+# TPU tier (tests/test_tpu_kernels.py) and every TPU bench run.
 def test_tree_engine_end_to_end(case):
     """Interpret-mode tree engine == oracle through the public API."""
     pts, scalars = case
@@ -182,6 +196,13 @@ def test_tree_engine_end_to_end(case):
     assert (got["x"], got["y"]) == want
 
 
+@pytest.mark.slow  # giant interpret-mode XLA:CPU compiles: beyond ~200
+# compiles/process this environment's XLA:CPU backend_compile_and_load
+# intermittently SEGFAULTS (3 full-suite crashes observed, always in
+# this file's heavy tests; each passes in isolation).  The light tier
+# below (level maps vs numpy, wide-window regression) keeps tree
+# coverage in the default run; these e2e paths also run compiled in the
+# TPU tier (tests/test_tpu_kernels.py) and every TPU bench run.
 def test_tree_engine_edwards(case):
     """Edwards curve through the tree path (3 affine coords, 4 state)."""
     rng = random.Random("tree-ed")
@@ -199,6 +220,13 @@ def test_tree_engine_edwards(case):
     assert (got["x"], got["y"]) == want
 
 
+@pytest.mark.slow  # giant interpret-mode XLA:CPU compiles: beyond ~200
+# compiles/process this environment's XLA:CPU backend_compile_and_load
+# intermittently SEGFAULTS (3 full-suite crashes observed, always in
+# this file's heavy tests; each passes in isolation).  The light tier
+# below (level maps vs numpy, wide-window regression) keeps tree
+# coverage in the default run; these e2e paths also run compiled in the
+# TPU tier (tests/test_tpu_kernels.py) and every TPU bench run.
 @pytest.mark.parametrize("k_finish", [1, 2])
 def test_hybrid_engine_end_to_end(case, k_finish):
     """Tree levels 1..K + packed stream finish == oracle (interpret).
@@ -216,6 +244,13 @@ def test_hybrid_engine_end_to_end(case, k_finish):
     assert (got["x"], got["y"]) == want
 
 
+@pytest.mark.slow  # giant interpret-mode XLA:CPU compiles: beyond ~200
+# compiles/process this environment's XLA:CPU backend_compile_and_load
+# intermittently SEGFAULTS (3 full-suite crashes observed, always in
+# this file's heavy tests; each passes in isolation).  The light tier
+# below (level maps vs numpy, wide-window regression) keeps tree
+# coverage in the default run; these e2e paths also run compiled in the
+# TPU tier (tests/test_tpu_kernels.py) and every TPU bench run.
 def test_hybrid_engine_edwards(case):
     """Edwards through the hybrid path (4 projective state coords)."""
     rng = random.Random("tree-ed-h")
@@ -234,6 +269,13 @@ def test_hybrid_engine_edwards(case):
     assert (got["x"], got["y"]) == want
 
 
+@pytest.mark.slow  # giant interpret-mode XLA:CPU compiles: beyond ~200
+# compiles/process this environment's XLA:CPU backend_compile_and_load
+# intermittently SEGFAULTS (3 full-suite crashes observed, always in
+# this file's heavy tests; each passes in isolation).  The light tier
+# below (level maps vs numpy, wide-window regression) keeps tree
+# coverage in the default run; these e2e paths also run compiled in the
+# TPU tier (tests/test_tpu_kernels.py) and every TPU bench run.
 def test_hybrid_engine_duplicate_heavy(case):
     """Hot-bucket inputs through the hybrid: one bucket per window holds
     ALL entries — the finish kernel's block runs maxlen/2 rounds."""
@@ -250,6 +292,13 @@ def test_hybrid_engine_duplicate_heavy(case):
     assert (got["x"], got["y"]) == want
 
 
+@pytest.mark.slow  # giant interpret-mode XLA:CPU compiles: beyond ~200
+# compiles/process this environment's XLA:CPU backend_compile_and_load
+# intermittently SEGFAULTS (3 full-suite crashes observed, always in
+# this file's heavy tests; each passes in isolation).  The light tier
+# below (level maps vs numpy, wide-window regression) keeps tree
+# coverage in the default run; these e2e paths also run compiled in the
+# TPU tier (tests/test_tpu_kernels.py) and every TPU bench run.
 def test_tree_engine_duplicate_heavy(case):
     """Hot-bucket inputs (every scalar equal): one bucket per window
     holds ALL entries — the deepest trees and maximal single-chains."""

@@ -149,3 +149,23 @@ def test_stream_msm_edwards_distinct_points():
     got = eng.compute_msm(aff, ks)
     want = crv.ed_to_affine(naive_msm(pts, ks, EDWARDS))
     assert (got["x"], got["y"]) == want
+
+
+def test_debug_stage_differential_full_scale():
+    """engine.debug_check at a real size class on the device — the
+    reference's debug=true stage readbacks (submission.ts:464-798) as a
+    runnable tier: stage 1 sampled-bigint, stage 2 exact full-n numpy,
+    stage 3 sampled bucket sums vs the bigint oracle."""
+    from webgpu_msm_bls12_377_tpu.harness import testdata
+    from webgpu_msm_bls12_377_tpu.models.cuzk import CuzkMsmEngine
+
+    case = testdata.make_bench_case(CurveId.BLS12_377, 16)
+    eng = CuzkMsmEngine(CurveId.BLS12_377)
+    checks = eng.debug_check(
+        case.point_words, case.scalar_words, 15, sample=16
+    )
+    assert checks == {
+        "stage1_mont_convert": True,
+        "stage2_transpose": True,
+        "stage3_buckets": True,
+    }
