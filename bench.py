@@ -77,9 +77,15 @@ def bench_batch(args, curve, n, chunk_size, engine):
             results.append(engine._finalize(coords, chunk_size))
         return results, time.perf_counter() - t0
 
+    batch_impl = (
+        engine._msm_batch_tree
+        if engine._select_smvp(chunk_size, n) == "tree"
+        else engine._msm_batch_stream
+    )
+
     def batched():
         t0 = time.perf_counter()
-        results = engine._msm_batch_stream(pw_dev, sw_srcs, chunk_size)
+        results = batch_impl(pw_dev, sw_srcs, chunk_size)
         return results, time.perf_counter() - t0
 
     # cold (compile) passes first, then timed warm passes

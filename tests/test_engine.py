@@ -197,3 +197,24 @@ def test_prewarm_populates_cache():
     want = crv.g1_to_affine(naive_msm(pts, ks, G1))
     assert (got["x"], got["y"]) == want
     assert len(CuzkMsmEngine._compiled) == before
+
+
+@pytest.mark.slow  # interpret-mode hybrid compiles (see test_smvp_tree note)
+def test_g1_batched_msm_tree_path(g1_case):
+    """The tree-native batch split (shared tree table + per-set hybrid
+    plans) against the oracle — the pipelined schedule bench.py --batch
+    uses on TPU when auto resolves to the tree."""
+    pts, scalars, expected = g1_case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    rng2 = random.Random("batch3")
+    scalars2 = [rng2.randrange(0, 1 << 253) for _ in range(N)]
+    eng = CuzkMsmEngine(
+        CurveId.BLS12_377, chunk_size=4, smvp_mode="tree-interpret",
+        tree_finish=1, stream_lanes=8,
+    )
+    pw = eng._prepare_points(aff)
+    sws = [eng._prepare_scalars(s) for s in (scalars, scalars2)]
+    results = eng._msm_batch_tree(pw, sws, 4)
+    assert (results[0]["x"], results[0]["y"]) == expected
+    want2 = crv.g1_to_affine(naive_msm(pts, scalars2, G1))
+    assert (results[1]["x"], results[1]["y"]) == want2

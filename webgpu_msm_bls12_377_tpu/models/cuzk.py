@@ -644,6 +644,101 @@ class CuzkMsmEngine:
 
         return splan_fn
 
+    def _build_tree_pprep_fn(self):
+        ctx = self.ctx
+        group = self.group
+
+        def pprep_fn(point_words):
+            return build_tree_table(
+                group, mont_point_table(ctx, group, point_words)
+            )
+
+        return pprep_fn
+
+    def _build_tree_splan_fn(self, chunk_size: int, tree_k: int):
+        num_windows = num_windows_for(chunk_size)
+        lanes = self.stream_lanes
+
+        def splan_fn(scalar_words):
+            digits = decompose_scalars_signed(
+                scalar_words, chunk_size, num_windows
+            )
+            plan = build_bucket_plan(digits, chunk_size)
+            kn = plan.sorted_vals.shape[0]
+            tplan = build_hybrid_plan(
+                plan.starts, plan.lens, kn, tree_k, num_windows, lanes
+            )
+            return plan.sorted_vals, tplan
+
+        return splan_fn
+
+    def _msm_batch_tree(
+        self, point_words, scalar_words_list, chunk_size: int
+    ) -> list[dict[str, int]]:
+        """Pipelined batched MSM over a fixed point set (tree path).
+
+        Same schedule as _msm_batch_stream — the tree table is built
+        ONCE (the per-point Montgomery entry + signed row layout is the
+        batch's shared work), scalar plans enqueue back-to-back, the
+        3-int stats readbacks batch into one host sync, and per-set
+        hybrid mains enqueue before any result is fetched.  Sets whose
+        bucket distribution overflows the packed finish's SMEM budget
+        run the pure tree on the same plan (per-set fallback, as in
+        _msm_device_tree)."""
+        n = point_words.shape[-1]
+        interp = self.smvp_mode == "tree-interpret"
+        tree_k = self._tree_k() or 2  # batch uses the hybrid split
+        pprep_fn = self._cache_get(
+            (self.curve, "tpprep", n),
+            lambda: self._build_tree_pprep_fn(),
+        )
+        splan_fn = self._cache_get(
+            (self.curve, "tsplan", chunk_size, n, tree_k, self.stream_lanes),
+            lambda: self._build_tree_splan_fn(chunk_size, tree_k),
+        )
+        tree_table = pprep_fn(jnp.asarray(point_words))
+        plans = [splan_fn(jnp.asarray(sw)) for sw in scalar_words_list]
+        all_stats = np.asarray(
+            jnp.stack([tplan.stats for _, tplan in plans])
+        )
+        coords_batch = []
+        for i, stats in enumerate(all_stats):
+            sorted_vals, tplan = plans[i]
+            plans[i] = None
+            maxlen, span, total_slabs = (int(v) for v in stats)
+            w1t = w1_tiles_for(span)
+            assert w1t <= MAX_W1_TILES, f"w1t={w1t} > {MAX_W1_TILES}"
+            s_slabs = slab_class(total_slabs, n)
+            if s_slabs <= SLAB_SMEM_CAP:
+                main_fn = self._cache_get(
+                    (
+                        self.curve, "hmain", chunk_size, n, tree_k,
+                        w1t, s_slabs, self.num_bpr_threads, interp,
+                        self.stream_lanes,
+                    ),
+                    lambda: self._build_hybrid_main_fn(
+                        chunk_size, tree_k, w1t, s_slabs, interp
+                    ),
+                )
+            else:  # duplicate-heavy set: pure tree on the same plan
+                levels = num_levels(maxlen)
+                main_fn = self._cache_get(
+                    (
+                        self.curve, "tmain", chunk_size, n, levels, w1t,
+                        self.num_bpr_threads, interp,
+                    ),
+                    lambda: self._build_tree_main_fn(
+                        chunk_size, levels, w1t, interp
+                    ),
+                )
+            coords_batch.append(main_fn(tree_table, sorted_vals, tplan))
+            del sorted_vals, tplan
+        host_coords = jax.device_get(coords_batch)
+        return [
+            self._finalize(tuple(np.asarray(c) for c in coords), chunk_size)
+            for coords in host_coords
+        ]
+
     def _msm_batch_stream(
         self, point_words, scalar_words_list, chunk_size: int
     ) -> list[dict[str, int]]:
@@ -1089,6 +1184,8 @@ class CuzkMsmEngine:
                 return self._msm_batch_stream_pool(
                     point_words, sws, chunk_size, list(devices)
                 )
+            if self._select_smvp(chunk_size, n) == "tree":
+                return self._msm_batch_tree(point_words, sws, chunk_size)
             return self._msm_batch_stream(point_words, sws, chunk_size)
         return [
             self.compute_msm(point_words, scalars)
