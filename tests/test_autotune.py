@@ -63,3 +63,72 @@ def test_autotune_selects_persists_and_engine_consults(
     )._chunk_for(1 << 16) == 13
     ov = CuzkMsmEngine(CurveId.BLS12_377, autotune=True, chunk_size=16)
     assert ov._chunk_for(1 << 16) == 16
+
+
+def test_autotune_default_on_and_disable(tmp_path, monkeypatch):
+    """autotune is the DEFAULT policy: an engine with no flags consults
+    the table; autotune=False restores the static policy."""
+    monkeypatch.setenv("MSM_AUTOTUNE_DIR", str(tmp_path))
+    autotune.autotune_chunk(
+        CurveId.BLS12_377, 1 << 18,
+        measure_fn=lambda *_a: {13: 0.1, 15: 0.3, 16: 0.3}[_a[3]],
+    )
+    assert CuzkMsmEngine(CurveId.BLS12_377)._chunk_for(1 << 18) == 13
+    assert CuzkMsmEngine(
+        CurveId.BLS12_377, autotune=False
+    )._chunk_for(1 << 18) == 15  # static policy
+
+
+def test_autotune_smvp_selects_persists_and_engine_consults(
+    tmp_path, monkeypatch
+):
+    monkeypatch.setenv("MSM_AUTOTUNE_DIR", str(tmp_path))
+
+    fake = {
+        ("stream", None): 0.25,
+        ("tree", 1): 0.30,
+        ("tree", 2): 0.28,
+        ("tree", 3): 0.31,
+    }
+
+    def measure(curve, n, chunk, smvp, k, runs):
+        assert chunk == 16  # 2^20 static policy feeds the candidates
+        return fake[(smvp, k)]
+
+    # tree candidates need a TPU backend; on CPU only stream survives —
+    # force all candidates viable by faking support
+    monkeypatch.setattr(autotune, "_default_measure_smvp", measure)
+    import webgpu_msm_bls12_377_tpu.ops.smvp_stream as smvp_stream
+    import webgpu_msm_bls12_377_tpu.ops.smvp_tree as smvp_tree
+
+    monkeypatch.setattr(smvp_tree, "tree_supported", lambda *_: True)
+    monkeypatch.setattr(smvp_stream, "stream_supported", lambda *_: True)
+    m, k = autotune.autotune_smvp(
+        CurveId.BLS12_377, 1 << 20, measure_fn=measure
+    )
+    assert (m, k) == ("stream", None)
+
+    entry = autotune.lookup_entry(CurveId.BLS12_377, 1 << 20)
+    assert entry["smvp"] == "stream" and entry["tree_finish"] is None
+    assert entry["smvp_warm_s"]["tree-K2"] == 0.28
+
+    # engine consults: _tree_k honors a tuned finish level; tuned
+    # "stream" overrides the static n>=2^18 tree boundary (backend
+    # support still gates the final resolution)
+    fake2 = dict(fake)
+    fake2[("tree", 3)] = 0.01
+    m2, k2 = autotune.autotune_smvp(
+        CurveId.BLS12_377, 1 << 20, measure_fn=lambda *a: fake2[(a[3], a[4])]
+    )
+    assert (m2, k2) == ("tree", 3)
+    eng = CuzkMsmEngine(CurveId.BLS12_377)
+    assert eng._tree_k(1 << 20) == 3
+    assert eng._tree_k(1 << 18) == 2  # untuned n: measured default
+    # explicit tree_finish still wins over the table
+    assert CuzkMsmEngine(
+        CurveId.BLS12_377, tree_finish=1
+    )._tree_k(1 << 20) == 1
+    # autotune=False ignores the table entirely
+    assert CuzkMsmEngine(
+        CurveId.BLS12_377, autotune=False
+    )._tree_k(1 << 20) == 2

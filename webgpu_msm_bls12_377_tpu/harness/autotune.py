@@ -49,13 +49,28 @@ def _device_key() -> str:
     return f"{jax.default_backend()}/{getattr(dev, 'device_kind', 'unknown')}"
 
 
+#: mtime-validated cache of the loaded table: engines consult the table
+#: on EVERY compute_msm (autotune is on by default), so the lookup must
+#: not cost a file parse per call
+_TABLE_CACHE: dict = {"path": None, "mtime": None, "table": None}
+
+
 def load_table(path: str | None = None) -> dict:
     path = path or _table_path()
     try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return {}
+    c = _TABLE_CACHE
+    if c["path"] == path and c["mtime"] == mtime:
+        return c["table"]
+    try:
         with open(path) as f:
-            return json.load(f)
+            table = json.load(f)
     except (OSError, ValueError):
         return {}
+    c.update(path=path, mtime=mtime, table=table)
+    return table
 
 
 def save_table(table: dict, path: str | None = None) -> None:
@@ -64,13 +79,28 @@ def save_table(table: dict, path: str | None = None) -> None:
     with open(tmp, "w") as f:
         json.dump(table, f, indent=1, sort_keys=True)
     os.replace(tmp, path)
+    _TABLE_CACHE.update(
+        path=path, mtime=os.stat(path).st_mtime_ns, table=table
+    )
+
+
+def lookup_entry(curve, n: int, table: dict | None = None) -> dict:
+    """Full tuned entry for this device/curve/n ({} if untuned).
+
+    Keys the engine consults (each optional):
+      chunk: window size (choose_chunk_size override);
+      smvp: "tree" | "stream" (the auto tree/stream boundary override);
+      tree_finish: hybrid finish level K (the measured-best default
+        is K=2; other devices may prefer a different split).
+    """
+    table = load_table() if table is None else table
+    entry = table.get(_device_key(), {}).get(curve.name, {})
+    return entry.get(str(int(n)), {})
 
 
 def lookup(curve, n: int, table: dict | None = None) -> int | None:
     """Tuned chunk size for this device/curve/n, or None if untuned."""
-    table = load_table() if table is None else table
-    entry = table.get(_device_key(), {}).get(curve.name, {})
-    return entry.get(str(int(n)), {}).get("chunk")
+    return lookup_entry(curve, n, table).get("chunk")
 
 
 def _measure(engine_cls, curve, n: int, chunk: int, runs: int, measure_fn):
@@ -78,22 +108,18 @@ def _measure(engine_cls, curve, n: int, chunk: int, runs: int, measure_fn):
     return measure_fn(engine_cls, curve, n, chunk, runs)
 
 
-def _default_measure(engine_cls, curve, n, chunk, runs):
-    """Cold-compile then `runs` fenced warm runs of the device pipeline
-    on a generated distinct-point case, oracle-verified once."""
+def _timed_runs(eng, case, chunk: int, runs: int, what: str) -> float:
+    """Cold-compile then `runs` fenced warm runs of the device pipeline,
+    oracle-verified once; returns the best warm time."""
     import jax.numpy as jnp
 
-    from . import testdata
-
-    case = testdata.make_bench_case(curve, int(np.log2(n)))
-    eng = engine_cls(curve, chunk_size=chunk)
     pw = jax.device_put(jnp.asarray(case.point_words))
     sw = jax.device_put(jnp.asarray(case.scalar_words))
     coords = eng.msm_device(pw, sw, chunk)  # cold (compile)
     result = eng._finalize(coords, chunk)
     if (result["x"], result["y"]) != tuple(case.expected):
         raise AssertionError(
-            f"chunk {chunk} produced a WRONG result at n={n} — disqualified"
+            f"{what} produced a WRONG result — disqualified"
         )
     best = []
     for _ in range(runs):
@@ -102,6 +128,18 @@ def _default_measure(engine_cls, curve, n, chunk, runs):
         np.asarray(jax.tree_util.tree_leaves(coords)[-1][:1, :1])  # fence
         best.append(time.perf_counter() - t0)
     return min(best)
+
+
+def _default_measure(engine_cls, curve, n, chunk, runs):
+    """Chunk-size timing on a generated distinct-point case.
+
+    autotune=False: an engine under measurement must not consult the
+    table being written."""
+    from . import testdata
+
+    case = testdata.make_bench_case(curve, int(np.log2(n)))
+    eng = engine_cls(curve, chunk_size=chunk, autotune=False)
+    return _timed_runs(eng, case, chunk, runs, f"chunk {chunk} at n={n}")
 
 
 def autotune_chunk(
@@ -143,6 +181,75 @@ def autotune_chunk(
     return winner
 
 
+#: SMVP-path candidates: (smvp_mode, tree_finish).  "tree" + K is the
+#: hybrid (K pairwise levels + packed stream finish); "tree" + None is
+#: the pure tree; "stream" is the slab-stream kernel.
+SMVP_CANDIDATES = (("stream", None), ("tree", 1), ("tree", 2), ("tree", 3))
+
+
+def _default_measure_smvp(curve, n, chunk, smvp, tree_finish, runs):
+    from . import testdata
+    from ..models.cuzk import CuzkMsmEngine
+
+    case = testdata.make_bench_case(curve, int(np.log2(n)))
+    eng = CuzkMsmEngine(
+        curve, chunk_size=chunk, smvp_mode=smvp, tree_finish=tree_finish,
+        autotune=False,
+    )
+    return _timed_runs(
+        eng, case, chunk, runs, f"smvp {smvp}/K={tree_finish} at n={n}"
+    )
+
+
+def autotune_smvp(
+    curve,
+    n: int,
+    chunk: int | None = None,
+    candidates=SMVP_CANDIDATES,
+    runs: int = 2,
+    measure_fn=_default_measure_smvp,
+    persist: bool = True,
+):
+    """Measure SMVP-path candidates (stream vs tree, and the hybrid
+    finish level K) on the live device; persist and return the winner.
+
+    The static tree/stream boundary (n >= 2^18) and tree_finish K=2 are
+    one device's A/B results frozen into code — this measures them on
+    THIS device.  Every run is oracle-verified.  Returns the winning
+    (smvp_mode, tree_finish) pair.
+    """
+    from ..models.cuzk import choose_chunk_size
+    from ..ops.smvp_stream import stream_supported
+    from ..ops.smvp_tree import tree_supported
+
+    chunk = chunk or lookup(curve, n) or choose_chunk_size(n)
+    results = {}
+    for smvp, k in candidates:
+        if not stream_supported(chunk, False):
+            continue  # both paths ride the stream block shapes
+        if smvp == "tree" and not tree_supported(False):
+            continue
+        results[(smvp, k)] = measure_fn(curve, n, chunk, smvp, k, runs)
+    if not results:
+        raise ValueError(
+            f"no viable SMVP candidates for n={n}, chunk={chunk}"
+        )
+    winner = min(results, key=results.get)
+    if persist:
+        table = load_table()
+        entry = (
+            table.setdefault(_device_key(), {})
+            .setdefault(curve.name, {})
+            .setdefault(str(int(n)), {})
+        )
+        entry["smvp"], entry["tree_finish"] = winner[0], winner[1]
+        entry["smvp_warm_s"] = {
+            f"{m}-K{k}": round(t, 4) for (m, k), t in results.items()
+        }
+        save_table(table)
+    return winner
+
+
 def main():
     from ..params import CurveId
 
@@ -153,16 +260,23 @@ def main():
     ap.add_argument("--candidates", type=int, nargs="+",
                     default=list(DEFAULT_CANDIDATES))
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--tune", default="all",
+                    choices=["chunk", "smvp", "all"])
     args = ap.parse_args()
     curve = (
         CurveId.BLS12_377 if args.curve == "bls12_377"
         else CurveId.EDWARDS_BLS12
     )
     for p in args.powers:
-        w = autotune_chunk(
-            curve, 1 << p, candidates=tuple(args.candidates), runs=args.runs
-        )
-        print(f"2^{p} {args.curve}: chunk {w} (table: {_table_path()})")
+        if args.tune in ("chunk", "all"):
+            w = autotune_chunk(
+                curve, 1 << p, candidates=tuple(args.candidates),
+                runs=args.runs,
+            )
+            print(f"2^{p} {args.curve}: chunk {w} (table: {_table_path()})")
+        if args.tune in ("smvp", "all"):
+            m, k = autotune_smvp(curve, 1 << p, runs=args.runs)
+            print(f"2^{p} {args.curve}: smvp {m} tree_finish={k}")
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ import dataclasses
 import json
 import os
 import random
+import zlib
 from typing import Sequence
 
 import numpy as np
@@ -324,8 +325,11 @@ def make_zipf_case(
         [1.0 / (r + 1) ** alpha for r in range(len(pool))]
     )
     weights /= weights.sum()
+    # deterministic across processes (str hash is randomized per run via
+    # PYTHONHASHSEED) and sensitive to every parameter that changes the
+    # pool contents
     nprng = np.random.RandomState(
-        abs(hash(f"zipf-{seed}-{tag}")) % (1 << 32)
+        zlib.crc32(f"zipf-{seed}-{tag}-{pool_bits}-{alpha}".encode())
     )
     picks = nprng.choice(len(pool), size=n, p=weights)
     scalars = [pool[int(i)] for i in picks]

@@ -28,6 +28,7 @@ import numpy as np
 
 from .pallas_kernels import (
     fused_add_lazy,
+    fused_double_lazy,
     fused_running_add_lazy,
     masked_add_and_double_lazy,
 )
@@ -114,18 +115,32 @@ def _bpr_stage2_and_fold(group, m, g, num_windows, t_count, bpt):
     # one lane-layout scaffold for stage 2 AND the fold below
     wi = np.repeat(np.arange(num_windows, dtype=np.int32), t_count)
     tf = np.tile(np.arange(t_count, dtype=np.int32), num_windows)
-    s_lane = (bpt * (t_count - 1 - tf)).astype(np.int64)
-    nbits = max(int(s_lane.max()).bit_length(), 1)
+    # s = k << b with k = t_count-1-tf, b = log2(bpt): every lane's low
+    # b bits are ZERO, so the plain double-and-add over s (the
+    # reference's form, bpr.template.wgsl:42) spends b masked-add steps
+    # on provably-dead bits.  On SIMD lanes a masked add executes
+    # whether or not the bit is set — which is also why Booth/wNAF
+    # recodings (the reference's scalar_mul.template.wgsl experiments)
+    # buy nothing here: sparser digits don't skip work, only FEWER
+    # STEPS do (PERF.md round-5 A/B).  Factoring the shift replaces
+    # those b steps with b pure doubles of the addend.
+    b_shift = max(bpt.bit_length() - 1, 0)
+    k_lane = (t_count - 1 - tf).astype(np.int64)
+    nbits = max(int(k_lane.max()).bit_length(), 1)
     bit_table = jnp.asarray(
-        np.stack([(s_lane >> b) & 1 for b in range(nbits)]).astype(bool)
+        np.stack([(k_lane >> b) & 1 for b in range(nbits)]).astype(bool)
     )  # (nbits, lanes) compile-time constant
+
+    temp = m
+    for _ in range(b_shift):
+        temp = fused_double_lazy(group, temp)
 
     def bit_body(rt, bits_row):
         result, temp = rt
         result, temp = masked_add_and_double_lazy(group, result, temp, bits_row)
         return (result, temp), None
 
-    (g, _), _ = jax.lax.scan(bit_body, (g, m), bit_table)
+    (g, _), _ = jax.lax.scan(bit_body, (g, temp), bit_table)
 
     # --- fold thread lanes per window: log2(T) shift-reduce adds at a
     # FIXED (w, lanes) shape.  A halving tree would instantiate a

@@ -418,6 +418,55 @@ class G1Ops:
         Z3 = fa(Z3, t0)               # b<=4
         return ProjG1(x=X3, y=Y3, z=Z3)
 
+    def add_lazy_pair(self, p1: ProjG1, p2: ProjG1) -> ProjG1:
+        """add_lazy with the three paired products reduced once
+        (field.py:mont_mul_pair), mirroring add_mixed_lazy_pair: the
+        last six of RCB's twelve products pair into X3/Y3/Z3 sums, so
+        this form runs 6 muls + 3 pair-REDCs (~12.5% fewer multiply
+        rows) and the pairs absorb the three final lazy folds.  Same
+        contract as add_lazy: inputs < 4p, outputs < 4p (every pair's
+        bound product sum <= 264 << 8192, REDC outputs < 2p).  Kernel
+        (unrolled) form only — non-kernel callers keep add_lazy."""
+        ctx = self.ctx
+        mm = lambda a, b: mont_mul(ctx, a, b, lazy=True)
+        mmp = lambda a, b, c, d: mont_mul_pair(ctx, a, b, c, d)
+        fa = lambda a, b: lazy_add(ctx, a, b)
+        X1, Y1, Z1 = p1  # b<=4 each
+        X2, Y2, Z2 = p2  # b<=4 each
+        t0 = mm(X1, X2)               # 16   -> b<=2
+        t1 = mm(Y1, Y2)               # 16   -> b<=2
+        t2 = mm(Z1, Z2)               # 16   -> b<=2
+        t3 = fa(X1, Y1)               # b<=8
+        t4 = fa(X2, Y2)               # b<=8
+        t3 = mm(t3, t4)               # 64   -> b<=2
+        t4 = fa(t0, t1)               # b<=4
+        t3 = lazy_sub(ctx, t3, t4, self._kpsub[4])   # b<=6
+        t4 = fa(Y1, Z1)               # b<=8
+        X3 = fa(Y2, Z2)               # b<=8
+        t4 = mm(t4, X3)               # 64   -> b<=2
+        X3 = fa(t1, t2)               # b<=4
+        t4 = lazy_sub(ctx, t4, X3, self._kpsub[4])   # b<=6
+        X3 = fa(X1, Z1)               # b<=8
+        Y3 = fa(X2, Z2)               # b<=8
+        X3 = mm(X3, Y3)               # 64   -> b<=2
+        Y3 = fa(t0, t2)               # b<=4
+        Y3 = lazy_sub(ctx, X3, Y3, self._kpsub[4])   # b<=6
+        t0 = lazy_triple(ctx, t0)     # b<=6
+        t2 = lazy_triple(ctx, t2)     # b<=6
+        Z3 = fa(t1, t2)               # b<=8
+        t1 = lazy_sub(ctx, t1, t2, self._kpsub[6])   # b<=8
+        Y3 = lazy_triple(ctx, Y3)     # b<=18
+        # k = 12 (not bound(t4) = 6): soft-domain negation is exact only
+        # when k*p - b >= p, and t4 <= 6p needs k >= 7; 12 is the
+        # smallest precomputed LAZY_KS member above it (see
+        # tests/test_lazy_neg_exactness.py for the failure mode)
+        t4n = lazy_neg(ctx, t4, self._kpsub[12])     # 12p - t4; b<=12
+        # X3 = t3*t1 - t4*Y3, Y3 = Y3*t0 + t1*Z3, Z3 = Z3*t4 + t0*t3
+        X3 = mmp(t3, t1, t4n, Y3)     # 6*8 + 12*18 = 264 -> b<=2
+        Y3n = mmp(t1, Z3, Y3, t0)     # 8*8 + 18*6 = 172  -> b<=2
+        Z3 = mmp(Z3, t4, t0, t3)      # 8*6 + 6*6 = 84    -> b<=2
+        return ProjG1(x=X3, y=Y3n, z=Z3)
+
     def double_lazy(self, p1: ProjG1) -> ProjG1:
         """Complete doubling (RCB Alg. 9) in the lazy domain.
 

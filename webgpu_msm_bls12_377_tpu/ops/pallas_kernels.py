@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -327,14 +328,29 @@ def _running_add_body(n_coords):
     return body
 
 
+def lazy_add_fn(group):
+    """The full lazy point-add for KERNEL bodies: the pair-REDC form
+    when the group provides one (G1: three of RCB's product pairs share
+    a reduction, ~12.5% fewer multiply rows — curve.py:add_lazy_pair);
+    hwcd's four outputs are all standalone products, so Edwards keeps
+    add_lazy.  MSM_PAIR_FULL=0 forces the unpaired form (A/B gate,
+    mirroring MSM_PAIR_REDC for the both-affine level-1 add)."""
+    if os.environ.get("MSM_PAIR_FULL", "1") != "0" and hasattr(
+        group, "add_lazy_pair"
+    ):
+        return group.add_lazy_pair
+    return group.add_lazy
+
+
 @functools.lru_cache(maxsize=None)
 def _running_add_lazy_body(n_coords):
     def body(group, in_refs, out_refs):
+        add = lazy_add_fn(group)
         m = group.Point(*(r[...] for r in in_refs[:n_coords]))
         g = group.Point(*(r[...] for r in in_refs[n_coords : 2 * n_coords]))
         b = group.Point(*(r[...] for r in in_refs[2 * n_coords :]))
-        m2 = group.add_lazy(m, b)
-        g2 = group.add_lazy(g, m2)
+        m2 = add(m, b)
+        g2 = add(g, m2)
         for o, v in zip(out_refs, tuple(m2) + tuple(g2)):
             o[...] = v
 
@@ -346,11 +362,37 @@ def _add_lazy_body(n_coords):
     def body(group, in_refs, out_refs):
         a = group.Point(*(r[...] for r in in_refs[:n_coords]))
         b = group.Point(*(r[...] for r in in_refs[n_coords:]))
-        out = group.add_lazy(a, b)
+        out = lazy_add_fn(group)(a, b)
         for o, v in zip(out_refs, out):
             o[...] = v
 
     return body
+
+
+@functools.lru_cache(maxsize=None)
+def _double_lazy_body(n_coords):
+    def body(group, in_refs, out_refs):
+        a = group.Point(*(r[...] for r in in_refs[:n_coords]))
+        out = group.double_lazy(a)
+        for o, v in zip(out_refs, out):
+            o[...] = v
+
+    return body
+
+
+def fused_double_lazy(group, a, interpret=False):
+    """Lazy-domain doubling, fused (BPR stage 2's shift pre-doubles)."""
+    batch = a[0].shape[-1]
+    if not _supported(batch, interpret):
+        return group.double_lazy(a)
+    out = _run(
+        _double_lazy_body(len(a)),
+        group,
+        (*a,),
+        num_outputs=len(a),
+        interpret=interpret,
+    )
+    return type(a)(*out)
 
 
 @functools.lru_cache(maxsize=None)
@@ -359,7 +401,7 @@ def _masked_add_double_lazy_body(n_coords):
         result = group.Point(*(r[...] for r in in_refs[:n_coords]))
         temp = group.Point(*(r[...] for r in in_refs[n_coords : 2 * n_coords]))
         bit = in_refs[2 * n_coords][...] != 0
-        added = group.add_lazy(result, temp)
+        added = lazy_add_fn(group)(result, temp)
         new_res = tuple(
             jnp.where(bit, a, r) for a, r in zip(added, result)
         )

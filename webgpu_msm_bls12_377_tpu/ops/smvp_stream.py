@@ -58,6 +58,7 @@ from .pallas_kernels import (
     _const_arrays,
     _on_tpu,
     _rebuild_group,
+    lazy_add_fn,
     n_const_arrays,
 )
 
@@ -456,7 +457,7 @@ def _packed_kernel_body_build(group_cls, ctx, n_coords, w, cwp2, lanes=None):
                 jnp.where(first == FLAG_FIRST, z, o)
                 for z, o in zip(zero, read_acc())
             )
-            new = kgroup.add_lazy(kgroup.Point(*acc), node)
+            new = lazy_add_fn(kgroup)(kgroup.Point(*acc), node)
             write(
                 tuple(
                     jnp.where(m, nv, av) for nv, av in zip(new, acc)

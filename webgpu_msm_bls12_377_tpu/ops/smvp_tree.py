@@ -60,6 +60,7 @@ from .pallas_kernels import (
     _const_arrays,
     _on_tpu,
     _rebuild_group,
+    lazy_add_fn,
     n_const_arrays,
 )
 from . import smvp_stream
@@ -214,11 +215,14 @@ def build_level_map(
     m = jnp.clip(cb[:, 0] >> 8, 0, prev_tiles - wtiles)
     base = cb - (m << 8)[:, None]
     valid = (iota < t_k).reshape(-1, BLOCK)
-    # the clip bound must NOT depend on the final tile class (unknown
-    # here — the span readback below picks it): clip at the hard cap and
-    # report the true requirement so w1_tiles_for sizes the window
-    base = jnp.clip(base, 0, BLOCK * MAX_W1_TILES - 2)
+    # span measures the UNCLIPPED requirement: if a distribution ever
+    # needed more than MAX_W1_TILES tiles, w1_tiles_for(span) must
+    # exceed the cap so the engine assert fires instead of the clip
+    # below silently corrupting reads
     span = jnp.max(jnp.where(valid, base, 0)) + 2
+    # the clip bound must NOT depend on the final tile class (unknown
+    # here — the span readback above picks it): clip at the hard cap
+    base = jnp.clip(base, 0, BLOCK * MAX_W1_TILES - 2)
     singles = (
         jnp.zeros((t_cls,), jnp.int32)
         .at[jnp.where((c_prev & 1) == 1, s_k + c_k - 1, t_cls)]
@@ -392,7 +396,7 @@ def _tree_kernel_body_build(
             pb = kgroup.Point(
                 *(b_rows[c * w : (c + 1) * w] for c in range(n_coords))
             )
-            res = kgroup.add_lazy(pa, pb)
+            res = lazy_add_fn(kgroup)(pa, pb)
             alt = pa
         zero = kgroup.zero((BLOCK,))
         sel = kgroup.Point(

@@ -49,6 +49,10 @@ def lookup(key: str) -> list | None:
 
 
 def record(key: str, value: list) -> None:
+    # Hints are a pure optimization: on a read-only install (site-packages,
+    # container image) the default path inside the package tree is not
+    # writable, and a failed write must never fail the MSM that just
+    # computed a correct result — mirror lookup() and swallow OSError.
     with _LOCK:
         path = _path()
         try:
@@ -59,8 +63,11 @@ def record(key: str, value: list) -> None:
         if table.get(key) == value:
             return
         table[key] = value
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(table, f, indent=1, sort_keys=True)
-        os.replace(tmp, path)
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(table, f, indent=1, sort_keys=True)
+            os.replace(tmp, path)
+        except OSError:
+            pass
