@@ -137,6 +137,7 @@ class TestG1:
         want = [ocurve.g1_double_rcb(p) for p in pts]
         assert_proj_equal(got, want)
 
+    @pytest.mark.slow  # suite budget: reference-parity forms, slow tier
     def test_legacy_bj_formulas(self, rng):
         """Reference-parity unified formulas (add-2002-bj / dbl-2007-bl)."""
         ops = dcurve.G1Ops()

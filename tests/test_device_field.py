@@ -316,9 +316,11 @@ class TestLazyDomain:
         )
         acc = group.zero((4,))
         lazy = acc
+        j_mixed = jax.jit(group.add_mixed)
+        j_pair = jax.jit(group.add_mixed_lazy_pair)
         for _ in range(5):
-            acc = jax.jit(group.add_mixed)(acc, aff_batch)
-            lazy = jax.jit(group.add_mixed_lazy_pair)(lazy, aff_batch)
+            acc = j_mixed(acc, aff_batch)
+            lazy = j_pair(lazy, aff_batch)
             from webgpu_msm_bls12_377_tpu.ops import field as dfield
             limb_bound = (
                 dfield.soft_limb_max(ctx.word_size)
@@ -332,6 +334,53 @@ class TestLazyDomain:
         lazy_c = jax.jit(group.canon)(lazy)
         for a, b in zip(acc, lazy_c):
             assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_add_lazy_pair_matches_add_lazy(self):
+        """Paired-product full projective add (curve.py:add_lazy_pair,
+        the level>=2 tree kernels' G1 formula) == add_lazy == strict
+        add, chained, with the <4p output bound held throughout."""
+        from webgpu_msm_bls12_377_tpu.ops.curve import G1Ops, ProjG1
+        from webgpu_msm_bls12_377_tpu.ops.field import to_mont
+        from webgpu_msm_bls12_377_tpu.reference import curve as ocurve
+
+        rng = random.Random(23)
+        group = G1Ops()
+        ctx = group.ctx
+        p = ctx.params.p
+        pts = [
+            ocurve.g1_scalar_mult(
+                ocurve.G1_GENERATOR, rng.randrange(1, 1 << 96)
+            )
+            for _ in range(4)
+        ]
+        proj = ProjG1(
+            *(
+                jax.jit(lambda a: to_mont(ctx, a))(
+                    self._vals(ctx, [getattr(q, c) for q in pts])
+                )
+                for c in ("x", "y", "z")
+            )
+        )
+        acc = group.zero((4,))
+        lazy = acc
+        lazy_p = acc
+        # jit wrappers hoisted out of the loop: a fresh jax.jit per
+        # iteration recompiles the 30-limb program every pass (~15 s
+        # each on XLA:CPU — the round-5 suite-budget lesson)
+        j_add = jax.jit(group.add)
+        j_lazy = jax.jit(group.add_lazy)
+        j_pair = jax.jit(group.add_lazy_pair)
+        for _ in range(4):
+            acc = j_add(acc, proj)
+            lazy = j_lazy(lazy, proj)
+            lazy_p = j_pair(lazy_p, proj)
+            for c in lazy_p:
+                assert all(v < 4 * p for v in self._back(ctx, np.asarray(c)))
+        a_c = jax.jit(group.canon)(lazy)
+        b_c = jax.jit(group.canon)(lazy_p)
+        for a, b, s in zip(a_c, b_c, acc):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+            assert np.array_equal(np.asarray(a), np.asarray(s))
 
     def test_add_mixed_lazy_matches_add_mixed(self):
         from webgpu_msm_bls12_377_tpu.ops.curve import G1Ops, EdwardsOps
@@ -371,9 +420,11 @@ class TestLazyDomain:
             aff_batch = tuple(cols)
             acc = group.zero((len(affs),))
             lazy = acc
+            j_mixed = jax.jit(group.add_mixed)
+            j_lazy = jax.jit(group.add_mixed_lazy)
             for _ in range(3):
-                acc = jax.jit(group.add_mixed)(acc, aff_batch)
-                lazy = jax.jit(group.add_mixed_lazy)(lazy, aff_batch)
+                acc = j_mixed(acc, aff_batch)
+                lazy = j_lazy(lazy, aff_batch)
             lazy_c = jax.jit(group.canon)(lazy)
             for a, b in zip(acc, lazy_c):
                 assert np.array_equal(np.asarray(a), np.asarray(b)), type(
@@ -381,6 +432,7 @@ class TestLazyDomain:
                 ).__name__
 
 
+    @pytest.mark.slow  # 36 s XLA:CPU compile (suite budget)
     def test_add_double_lazy_match_strict(self):
         """Full projective/extended lazy add + lazy double == strict
         formulas after canon (the BPR kernels' production ops)."""

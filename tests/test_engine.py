@@ -87,6 +87,8 @@ def test_edwards_buffer_inputs(ed_case):
     assert (got["x"], got["y"]) == expected
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_g1_chunk_size_8(g1_case):
     """A second window-size class exercises generic decomposition/BPR."""
     pts, scalars, expected = g1_case
@@ -96,6 +98,8 @@ def test_g1_chunk_size_8(g1_case):
     assert (got["x"], got["y"]) == expected
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 @pytest.mark.parametrize("chunk", [13, 15])
 def test_g1_odd_chunk_top_window(g1_case, chunk):
     """Chunk sizes not dividing 256 need the ceil-253 window rule
@@ -169,6 +173,8 @@ def test_pippenger_engine_both_curves(g1_case, ed_case):
         PippengerMsmEngine(CurveId.BLS12_377, smvp_mode="stream")
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_prewarm_populates_cache():
     """prewarm compiles the size-class programs the real call then hits."""
     from webgpu_msm_bls12_377_tpu.models.cuzk import CuzkMsmEngine

@@ -38,6 +38,8 @@ def test_make_bench_case_pins_and_reloads(case_dir):
     assert np.array_equal(case2.point_words, case.point_words)
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_engine_matches_golden_case(case_dir):
     case = testdata.make_bench_case(
         CurveId.BLS12_377, power=6, cache_dir=case_dir, cross_check=False

@@ -10,6 +10,8 @@ from webgpu_msm_bls12_377_tpu.params import CurveId
 from webgpu_msm_bls12_377_tpu.reference import curve as crv
 
 
+@pytest.mark.slow  # ~30 s host bigint scalar-mults (suite budget);
+# the Edwards variant keeps the generation path covered by default
 def test_generate_points_on_curve():
     pts = testdata.generate_points(CurveId.BLS12_377, 8, seed="t1")
     assert len(pts) == 8
@@ -41,6 +43,8 @@ def test_save_load_round_trip(tmp_path):
     assert loaded.expected == case.expected
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_naive_engine_matches_oracle(rng):
     """The baseline double-and-add engine against the bigint oracle."""
     import jax.numpy as jnp
@@ -80,6 +84,8 @@ def test_naive_engine_matches_oracle(rng):
     assert crv.g1_eq(got, want)
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_zipf_case_matches_oracle(tmp_path):
     """Duplicate-heavy (zipf-pool) bench case: expected result via the
     known-k identity must equal the naive oracle MSM (reference

@@ -97,6 +97,7 @@ def test_cuzk_stage_cross_check(rng):
         assert crv.g1_eq(serial, acc)
 
 
+@pytest.mark.slow  # suite budget: covered in the slow tier (round 5)
 def test_pippenger_matches_naive_g1(rng):
     n = 12
     points = _g1_points(rng, n)

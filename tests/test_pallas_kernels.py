@@ -32,6 +32,8 @@ def data():
     return ops, acc, aff, sign, valid
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_masked_add_mixed_interpret(data):
     ops, acc, aff, sign, valid = data
     got = pk.masked_add_mixed(ops, acc, aff, sign, valid, interpret=True)
@@ -44,6 +46,8 @@ def test_masked_add_mixed_interpret(data):
         assert bool(jnp.array_equal(g, w))
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_fused_add_interpret(data):
     ops, acc, aff, _, _ = data
     other = dcurve.ProjG1(aff[0], aff[1], acc.x)
@@ -53,6 +57,8 @@ def test_fused_add_interpret(data):
         assert bool(jnp.array_equal(g, w))
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_masked_add_and_double_interpret(data):
     ops, acc, aff, sign, _ = data
     temp = dcurve.ProjG1(aff[0], aff[1], acc.y)
@@ -79,6 +85,8 @@ def test_small_batch_falls_back(data):
         assert bool(jnp.array_equal(g, w))
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_fused_running_add_interpret(data):
     """BPR stage-1 step kernel: m' = m + b; g' = g + m' in one call."""
     ops, acc, aff, _, _ = data

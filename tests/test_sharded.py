@@ -46,6 +46,8 @@ def test_sharded_matches_oracle_and_padding():
     assert (got["x"], got["y"]) == want
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_sharded_edwards():
     rng = random.Random("sharded-ed")
     n = 16

@@ -113,6 +113,8 @@ def test_layout_matches_numpy(device_inputs):
     assert np.array_equal(st[np.asarray(layout.perm)], starts.reshape(-1))
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_stream_matches_legacy_buckets(device_inputs):
     """Stream kernel (interpret) == legacy masked-round path, bit-exact."""
     ops, table, plan = _plan(device_inputs)
@@ -141,6 +143,8 @@ def test_stream_matches_legacy_buckets(device_inputs):
         assert np.array_equal(np.asarray(cg), np.asarray(cl))
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_stream_engine_end_to_end(case):
     """Interpret-mode stream engine == oracle through the public API."""
     pts, scalars = case
@@ -153,6 +157,8 @@ def test_stream_engine_end_to_end(case):
     assert (got["x"], got["y"]) == want
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_stream_batch_pipeline(case):
     """compute_msm_batch routes through the pipelined stream schedule
     (shared signed table, split plan programs) and matches per-set
@@ -172,6 +178,8 @@ def test_stream_batch_pipeline(case):
         assert (res["x"], res["y"]) == want
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_stream_engine_edwards(case):
     """Edwards curve through the streamed path (3 affine coords)."""
     rng = random.Random("stream-ed")
@@ -191,6 +199,8 @@ def test_stream_engine_edwards(case):
     assert (got["x"], got["y"]) == want
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_stream_batched_msm_device_pool(case):
     """Set-parallel batch over a device pool: 4 sets round-robined over
     4 virtual devices, each set's whole pipeline on its own device
@@ -212,6 +222,8 @@ def test_stream_batched_msm_device_pool(case):
         assert (got["x"], got["y"]) == want
 
 
+@pytest.mark.slow  # multi-minute XLA:CPU compile (round-5 suite budget:
+# the default suite must finish < 5 min; see README testing section)
 def test_stream_batched_msm(case):
     """compute_msm_batch through the pipelined stream path (interpret):
     shared signed table, per-set plans, one slab-count sync."""

@@ -50,6 +50,27 @@ def worker(process_id: int) -> None:
     assert (got["x"], got["y"]) == want, "multihost MSM mismatch"
     print(f"process {process_id}: result matches oracle", flush=True)
 
+    # pipelined sharded BATCH across processes (BASELINE config 5): both
+    # processes execute the same enqueue order — per-set sharded plans,
+    # one pmax-replicated batched readback, per-set mains — and check
+    # every set's replicated result.  stream-interpret so the PIPELINED
+    # path (not the serial legacy fallback) is the one crossing
+    # processes.
+    engine_b = multihost.make_engine(
+        CurveId.BLS12_377, chunk_size=4, num_bpr_threads=8,
+        smvp_mode="stream-interpret", stream_lanes=8,
+    )
+    batches = [
+        [(11 * k + 3 * s + 1) % (1 << 60) for k in range(n)]
+        for s in range(2)
+    ]
+    res = engine_b.compute_msm_batch(aff, batches)
+    for r, ks in zip(res, batches):
+        want = crv.g1_to_affine(naive_msm(pts, ks, G1))
+        assert (r["x"], r["y"]) == want, "multihost batch MSM mismatch"
+    print(f"process {process_id}: pipelined batch matches oracle",
+          flush=True)
+
 
 def main() -> int:
     if "--worker" in sys.argv:
