@@ -319,8 +319,11 @@ class CuzkMsmEngine:
             wsums = reduce_buckets(
                 group, buckets, len(windows), chunk_size, bpr_threads
             )
-            # Montgomery exit on device (submission.ts:290-304)
-            return tuple(from_mont(ctx, c) for c in wsums)
+            # Montgomery exit on device (submission.ts:290-304); ONE
+            # stacked output: per-coord outputs cost one ~15 ms relay
+            # round-trip EACH at readback (measured round 5 — the
+            # whole 6% gap between the sharded-D=1 and single paths)
+            return jnp.stack([from_mont(ctx, c) for c in wsums])
 
         return main_fn
 
@@ -373,7 +376,8 @@ class CuzkMsmEngine:
             wsums = reduce_buckets(
                 group, buckets, num_windows, chunk_size, bpr_threads
             )
-            return tuple(from_mont(ctx, c) for c in wsums)
+            # one stacked output: see _build_main_fn readback note
+            return jnp.stack([from_mont(ctx, c) for c in wsums])
 
         return main_fn
 
@@ -427,7 +431,8 @@ class CuzkMsmEngine:
             wsums = reduce_buckets_prearranged(
                 group, buckets, num_windows, chunk_size, bpr_threads
             )
-            return tuple(from_mont(ctx, c) for c in wsums)
+            # one stacked output: see _build_main_fn readback note
+            return jnp.stack([from_mont(ctx, c) for c in wsums])
 
         return main_fn
 
@@ -508,7 +513,8 @@ class CuzkMsmEngine:
             wsums = reduce_buckets_prearranged(
                 group, buckets, num_windows, chunk_size, bpr_threads
             )
-            return tuple(from_mont(ctx, c) for c in wsums)
+            # one stacked output: see _build_main_fn readback note
+            return jnp.stack([from_mont(ctx, c) for c in wsums])
 
         return main_fn
 
@@ -534,7 +540,8 @@ class CuzkMsmEngine:
             wsums = reduce_buckets_prearranged(
                 group, buckets, num_windows, chunk_size, bpr_threads
             )
-            return tuple(from_mont(ctx, c) for c in wsums)
+            # one stacked output: see _build_main_fn readback note
+            return jnp.stack([from_mont(ctx, c) for c in wsums])
 
         return main_fn
 
@@ -643,8 +650,8 @@ class CuzkMsmEngine:
                 ),
             )
             tplan = _as_tree_plan(tplan)
-        coords = main_fn(tree_table, sorted_vals, tplan)
-        return tuple(np.asarray(c) for c in coords)
+        out = np.asarray(main_fn(tree_table, sorted_vals, tplan))
+        return tuple(out[c] for c in range(out.shape[0]))
 
     # Split stream programs for the batched pipeline: the signed point
     # table depends only on the (fixed) points, so a batch builds it once;
@@ -769,8 +776,10 @@ class CuzkMsmEngine:
             del sorted_vals, tplan
         host_coords = jax.device_get(coords_batch)
         return [
-            self._finalize(tuple(np.asarray(c) for c in coords), chunk_size)
-            for coords in host_coords
+            self._finalize(
+                tuple(arr[c] for c in range(arr.shape[0])), chunk_size
+            )
+            for arr in (np.asarray(a) for a in host_coords)
         ]
 
     def _msm_batch_stream(
@@ -827,8 +836,10 @@ class CuzkMsmEngine:
                     )
                 del sorted_vals, layout
                 coords_batch.append(
-                    self._msm_device_tree(
-                        point_words, scalar_words_list[i], chunk_size
+                    np.stack(
+                        self._msm_device_tree(
+                            point_words, scalar_words_list[i], chunk_size
+                        )
                     )
                 )
                 continue
@@ -846,8 +857,10 @@ class CuzkMsmEngine:
         # one transfer for every set's (tiny) window sums, then host Horner
         host_coords = jax.device_get(coords_batch)
         return [
-            self._finalize(tuple(np.asarray(c) for c in coords), chunk_size)
-            for coords in host_coords
+            self._finalize(
+                tuple(arr[c] for c in range(arr.shape[0])), chunk_size
+            )
+            for arr in (np.asarray(a) for a in host_coords)
         ]
 
     def _msm_device_stream(self, point_words, scalar_words, chunk_size: int):
@@ -901,8 +914,8 @@ class CuzkMsmEngine:
         )
         if not interp and not self.force_recompile:
             layout_hints.record(hint_key, [s_slabs])
-        coords = main_fn(signed_table, sorted_vals, layout)
-        return tuple(np.asarray(c) for c in coords)
+        out = np.asarray(main_fn(signed_table, sorted_vals, layout))
+        return tuple(out[c] for c in range(out.shape[0]))
 
     def _chunk_for(self, n: int) -> int:
         """Window size: explicit override > autotuned table (if enabled,
@@ -997,8 +1010,8 @@ class CuzkMsmEngine:
         rows, sorted_vals, starts, lens = plan_fn(
             jnp.asarray(point_words), jnp.asarray(scalar_words)
         )
-        coords = main_fn(rows, sorted_vals, starts, lens)
-        return tuple(np.asarray(c) for c in coords)
+        out = np.asarray(main_fn(rows, sorted_vals, starts, lens))
+        return tuple(out[c] for c in range(out.shape[0]))
 
     def _get_compiled(
         self, kind: str, chunk_size: int, n: int, rounds=None, windows=None
@@ -1167,7 +1180,7 @@ class CuzkMsmEngine:
             lambda: self._build_stream_main_fn(chunk, s_slabs, interp),
         )
         coords = main_fn(table, sorted_vals, layout)
-        np.asarray(coords[0][:1, :1])  # fence: compile fully done
+        np.asarray(coords[:1, :1, :1])  # fence: compile fully done
         return None
 
     def msm_device(self, point_words, scalar_words, chunk_size: int):
@@ -1215,9 +1228,9 @@ class CuzkMsmEngine:
             main_fn = self._get_compiled(
                 "main", chunk_size, n, rounds, windows
             )
-            coords = main_fn(table_rows, plan)
-            for c, arr in enumerate(coords):
-                out[c][:, list(windows)] = np.asarray(arr)
+            stacked = np.asarray(main_fn(table_rows, plan))
+            for c in range(num_coords):
+                out[c][:, list(windows)] = stacked[c]
         return tuple(out)
 
     def compute_msm_batch(
@@ -1343,8 +1356,10 @@ class CuzkMsmEngine:
             del sorted_vals, layout
         host_coords = jax.device_get(coords_batch)
         return [
-            self._finalize(tuple(np.asarray(c) for c in coords), chunk_size)
-            for coords in host_coords
+            self._finalize(
+                tuple(arr[c] for c in range(arr.shape[0])), chunk_size
+            )
+            for arr in (np.asarray(a) for a in host_coords)
         ]
 
     def _validate(self, n: int, scalar_words: np.ndarray) -> None:

@@ -731,9 +731,11 @@ class ShardedMsmEngine(CuzkMsmEngine):
             main_fn = self._get_compiled(
                 "main", chunk_size, n_pad, rounds, ws
             )
-            coords = main_fn(table_rows, sorted_vals, starts, lens)
+            stacked = np.asarray(
+                main_fn(table_rows, sorted_vals, starts, lens)
+            )
             for c in range(num_coords):
-                out[c][:, list(ws)] = np.asarray(coords[c])
+                out[c][:, list(ws)] = stacked[c]
         return tuple(out)
 
     def _get_compiled(

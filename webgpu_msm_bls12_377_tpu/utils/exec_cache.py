@@ -93,7 +93,7 @@ def _disk_key(logical_key: tuple) -> str:
     # disk entries, or an A/B run could load the other variant's binary
     variant_env = {
         k: os.environ.get(k)
-        for k in ("MSM_PAIR_REDC", "MSM_SOFT_CARRY")
+        for k in ("MSM_PAIR_REDC", "MSM_PAIR_FULL", "MSM_SOFT_CARRY")
         if k in os.environ
     }
     raw = repr(
