@@ -159,12 +159,30 @@ def autotune_chunk(
     from ..ops.smvp_stream import LANES
 
     results = {}
-    for c in candidates:
+    # smaller window -> more windows -> bigger device footprint: run the
+    # big candidates LAST so an OOM disqualifies only itself (a failed
+    # giant allocation can leave the client unable to serve the NEXT
+    # candidate in this process — observed: chunk 13 at 2^20 OOMs, then
+    # 15/16 fail too if run after it)
+    for c in sorted(candidates, reverse=True):
         # the streamed path needs >= LANES bucket lanes per window;
         # backend suitability is the engine's own auto dispatch
         if n >= 65536 and (1 << (c - 1)) % LANES != 0:
             continue
-        results[c] = _measure(CuzkMsmEngine, curve, n, c, runs, measure_fn)
+        try:
+            results[c] = _measure(
+                CuzkMsmEngine, curve, n, c, runs, measure_fn
+            )
+        except AssertionError:
+            raise  # a WRONG result must crash the tuning run
+        except Exception as e:  # OOM/compile failure = disqualified
+            # (chunk 13 at 2^20 exceeds the 16 GB HBM envelope:
+            # 20 windows x 2^20 entries)
+            print(f"  chunk {c}: disqualified ({type(e).__name__})")
+        finally:
+            import gc
+
+            gc.collect()
     if not results:
         raise ValueError(f"no viable chunk candidates for n={n}")
     winner = min(results, key=results.get)
@@ -229,7 +247,16 @@ def autotune_smvp(
             continue  # both paths ride the stream block shapes
         if smvp == "tree" and not tree_supported(False):
             continue
-        results[(smvp, k)] = measure_fn(curve, n, chunk, smvp, k, runs)
+        try:
+            results[(smvp, k)] = measure_fn(curve, n, chunk, smvp, k, runs)
+        except AssertionError:
+            raise  # a WRONG result must crash the tuning run
+        except Exception as e:  # OOM/compile failure = disqualified
+            print(f"  smvp {smvp}/K={k}: disqualified ({type(e).__name__})")
+        finally:
+            import gc
+
+            gc.collect()
     if not results:
         raise ValueError(
             f"no viable SMVP candidates for n={n}, chunk={chunk}"
