@@ -13,6 +13,7 @@ from webgpu_msm_bls12_377_tpu.reference.limbs import (
 from webgpu_msm_bls12_377_tpu.reference.msm import (
     EDWARDS,
     G1,
+    cpu_smtvp,
     cpu_smvp_signed,
     cpu_transpose,
     cuzk_msm,
@@ -149,3 +150,20 @@ def test_cuzk_scalar_field_boundary(rng):
     expected = naive_msm(points, scalars, G1)
     got = cuzk_msm(points, scalars, chunk_size=16, group=G1)
     assert crv.g1_eq(got, expected)
+
+
+def test_smtvp_matches_column_grouping(rng):
+    """The exploratory SMTVP model (smtvp.template.wgsl:43-59): bucket
+    accumulation via a transpose-free CSR walk with an all-ones vector
+    must equal direct per-column grouping (SURVEY #22)."""
+    m, n_cols, nnz_per_row = 4, 8, 3
+    points = _g1_points(rng, m * nnz_per_row)
+    row_ptr = [i * nnz_per_row for i in range(m + 1)]
+    col_idx = [rng.randrange(n_cols) for _ in range(m * nnz_per_row)]
+    got = cpu_smtvp(row_ptr, col_idx, points, n_cols, G1)
+    for c in range(n_cols):
+        want = G1.zero
+        for j, cj in enumerate(col_idx):
+            if cj == c:
+                want = G1.add(want, points[j])
+        assert crv.g1_eq(got[c], want), f"col {c}"

@@ -200,6 +200,28 @@ def cpu_smvp_signed(
     return buckets
 
 
+def cpu_smtvp(
+    row_ptr: Sequence[int],
+    col_idx: Sequence[int],
+    points: Sequence[Any],
+    num_cols: int,
+    group: Group = G1,
+) -> list:
+    """Sparse-matrix-TRANSPOSE vector product with an all-ones vector
+    (the reference's exploratory pre-cuZK stage-3 variant,
+    smtvp.template.wgsl:43-59): y[col_idx[j]] += points[j] for every
+    entry j of every CSR row — bucket accumulation WITHOUT an explicit
+    transpose, at the cost of a serial output-scatter loop (which is
+    why the production pipeline transposes first; README.md:195-226).
+    """
+    out = [group.zero] * num_cols
+    for i in range(len(row_ptr) - 1):
+        for j in range(row_ptr[i], row_ptr[i + 1]):
+            c = col_idx[j]
+            out[c] = group.add(out[c], points[j])
+    return out
+
+
 def running_sum_bucket_reduction(buckets: Sequence[Any], group: Group = G1):
     """Serial running-sum reduction (bpr.ts:5-26).
 
