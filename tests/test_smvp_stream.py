@@ -238,3 +238,32 @@ def test_stream_batched_msm(case):
     for got, ks in zip(results, (scalars, scalars2)):
         want = crv.g1_to_affine(naive_msm(pts, ks, G1))
         assert (got["x"], got["y"]) == want
+
+
+@pytest.mark.slow  # ~45 s of interpret compiles (suite budget)
+def test_stream_batch_overflow_raises_clearly(case, monkeypatch):
+    """A duplicate-heavy set whose slab count exceeds SLAB_SMEM_CAP must
+    surface SlabOverflowError from the pipelined batch when no tree
+    backend exists (CPU) — not a raw SMEM compile error (round-4
+    advisor item; on TPU the engine falls back to the pure tree
+    per set instead)."""
+    import webgpu_msm_bls12_377_tpu.models.cuzk as cuzk_mod
+    from webgpu_msm_bls12_377_tpu.models.cuzk import SlabOverflowError
+
+    pts, scalars = case
+    aff = [crv.g1_to_affine(p) for p in pts]
+    # all-equal scalars concentrate every window's entries in ONE
+    # bucket; with the cap patched tiny, that set overflows while the
+    # uniform set stays under
+    heavy = [scalars[0]] * N
+    eng = CuzkMsmEngine(
+        CurveId.BLS12_377, chunk_size=CHUNK, smvp_mode="stream-interpret"
+    )
+    # cap between the two sets' classes: uniform ~1152 slabs, heavy
+    # (one monster bucket per window) ~6k
+    monkeypatch.setattr(cuzk_mod, "SLAB_SMEM_CAP", 2000)
+    results = eng.compute_msm_batch(aff, [scalars])
+    want = crv.g1_to_affine(naive_msm(pts, scalars, G1))
+    assert (results[0]["x"], results[0]["y"]) == want
+    with pytest.raises(SlabOverflowError):
+        eng.compute_msm_batch(aff, [scalars, heavy])
