@@ -124,13 +124,17 @@ def test_sharded_tree_matches_oracle(tree_finish):
     assert (got["x"], got["y"]) == want
 
 
-@pytest.mark.slow  # chunk-16 window geometry: ~minutes of CPU compiles
-def test_sharded_tree_production_windows():
-    """Sharded hybrid tree at PRODUCTION window geometry (chunk 16,
-    h = 2^15, K = 2 finish, 512 BPR threads, D = 8 window-sharded
-    reduce-scatter) — the class bench.py --sharded auto-resolves to at
-    2^20 on a real slice."""
-    rng = random.Random("sharded-tree-prod")
+@pytest.mark.slow  # chunk-15/16 window geometry: ~minutes of CPU compiles
+@pytest.mark.parametrize("chunk", [16, 15])
+def test_sharded_tree_production_windows(chunk):
+    """Sharded hybrid tree at PRODUCTION window geometry (K = 2 finish,
+    512 BPR threads, D = 8): chunk 16 (16 windows, 16 % 8 == 0)
+    exercises the window-sharded reduce-scatter — the class
+    bench.py --sharded auto-resolves to at 2^20 on a real slice;
+    chunk 15 (17 trimmed windows, 17 % 8 != 0) exercises the
+    REPLICATED-BPR fallback branch of the shared tail with tree
+    bucket blocks."""
+    rng = random.Random(f"sharded-tree-prod-{chunk}")
     n = 64
     pts = [
         crv.g1_scalar_mult(crv.G1_GENERATOR, rng.randrange(1, 1 << 64))
@@ -141,7 +145,7 @@ def test_sharded_tree_production_windows():
 
     mesh = make_mesh(jax.devices()[:8])
     eng = ShardedMsmEngine(
-        CurveId.BLS12_377, mesh=mesh, chunk_size=16,
+        CurveId.BLS12_377, mesh=mesh, chunk_size=chunk,
         num_bpr_threads=512, smvp_mode="tree-interpret", tree_finish=2,
     )
     got = eng.compute_msm(aff, ks)
