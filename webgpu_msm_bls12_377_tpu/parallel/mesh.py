@@ -35,7 +35,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..models.cuzk import (
-    SCALAR_BITS,
     CuzkMsmEngine,
     choose_chunk_size,
     mont_point_table,
@@ -56,7 +55,7 @@ from ..ops.smvp_tree import (
     w1_tiles_for,
 )
 from ..ops.bpr import bpr_order, reduce_buckets, reduce_buckets_prearranged
-from ..ops.pallas_kernels import fused_add, fused_add_lazy
+from ..ops.pallas_kernels import fused_add_lazy
 from ..ops.buckets import (
     BucketPlan,
     accumulate_buckets,
@@ -65,10 +64,8 @@ from ..ops.buckets import (
     table_to_rows,
     window_slice_indices,
 )
-from ..ops.convert import u32_words_to_limbs_mont
 from ..ops.decompose import decompose_scalars_signed
-from ..ops.field import from_mont, mont_mul
-from ..ops.curve import EdwardsOps
+from ..ops.field import from_mont
 from ..ops import smvp_stream
 from ..ops.smvp_stream import (
     SLAB_SMEM_CAP,
